@@ -1,0 +1,6 @@
+"""Import first in ad-hoc scripts to force CPU (see conftest.py)."""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,185 @@
+"""Length bucketing and static-shape batching (TPU-first).
+
+The reference sorts samples by length (``--dataorder=input|input_spiral|
+output_spiral`` with ``--inputbinsize`` ms bins) and batches either a fixed
+``--batchsize`` or dynamically up to ``--batching_max_duration`` seconds
+(``createDataset``, ``cpc/Train.cpp:757-802``). On GPU each batch is padded to
+its own max length; on TPU that would trigger one XLA compilation per shape.
+
+TPU-native redesign: every emitted batch is padded to a *bucket boundary* —
+time padded up to a multiple of ``pad_multiple`` frames and target length to a
+multiple of ``target_pad_multiple`` — so the number of distinct compiled shapes
+is bounded and small, while sorting keeps padding waste low (same effect the
+reference gets from dynamic batching, with a compilation-friendly shape set).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .listfile import ListSample
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if m > 0 else x
+
+
+@dataclasses.dataclass
+class BatchSpec:
+    """Indices of samples in a batch plus its padded static shape."""
+
+    indices: List[int]
+    max_input_frames: int  # padded (bucket boundary)
+    max_target_len: int  # padded
+
+
+class LengthBucketer:
+    """Sorts/filters/shards samples and yields static-shape batch specs."""
+
+    def __init__(
+        self,
+        input_lengths: Sequence[float],  # per-sample input length (frames)
+        target_lengths: Sequence[int],
+        batch_size: int,
+        data_order: str = "input",
+        input_bin_size: int = 100,  # in frames here (caller converts from ms)
+        batching_strategy: str = "none",
+        batching_max_frames: float = 0.0,  # dynamic: frames budget per batch
+        pad_multiple: int = 128,
+        target_pad_multiple: int = 32,
+        world_rank: int = 0,
+        world_size: int = 1,
+        max_target_cap: Optional[int] = None,
+    ):
+        self.input_lengths = np.asarray(input_lengths, dtype=np.float64)
+        self.target_lengths = np.asarray(target_lengths, dtype=np.int64)
+        self.batch_size = batch_size
+        self.pad_multiple = max(1, pad_multiple)
+        self.target_pad_multiple = max(1, target_pad_multiple)
+        self.world_rank = world_rank
+        self.world_size = max(1, world_size)
+        self.max_target_cap = max_target_cap
+
+        n = len(self.input_lengths)
+        order = np.arange(n)
+        if data_order == "input":
+            keys = (self.input_lengths // max(1, input_bin_size)).astype(np.int64)
+            order = np.lexsort((self.input_lengths, keys))
+        elif data_order == "input_spiral":
+            keys = (self.input_lengths // max(1, input_bin_size)).astype(np.int64)
+            order = np.lexsort((self.target_lengths, self.input_lengths, keys))
+        elif data_order == "output_spiral":
+            order = np.lexsort((self.input_lengths, self.target_lengths))
+        self.order = order
+
+        self.batches: List[BatchSpec] = []
+        if batching_strategy == "dynamic" and batching_max_frames > 0:
+            self._build_dynamic(batching_max_frames)
+        else:
+            self._build_fixed()
+        # shard batches across ranks (reference shards samples; sharding whole
+        # batches keeps per-rank shapes identical, which pjit requires)
+        self.batches = self.batches[self.world_rank :: self.world_size]
+
+    def _pad_shape(self, idxs: np.ndarray) -> Tuple[int, int]:
+        t = int(round_up(int(self.input_lengths[idxs].max()), self.pad_multiple))
+        u = int(self.target_lengths[idxs].max()) if len(idxs) else 0
+        u = int(round_up(max(u, 1), self.target_pad_multiple))
+        if self.max_target_cap:
+            u = min(u, self.max_target_cap)
+        return t, u
+
+    def _build_fixed(self) -> None:
+        bs = self.batch_size
+        for i in range(0, len(self.order), bs):
+            idxs = self.order[i : i + bs]
+            if len(idxs) == 0:
+                continue
+            t, u = self._pad_shape(idxs)
+            self.batches.append(BatchSpec(idxs.tolist(), t, u))
+
+    def _build_dynamic(self, max_frames: float) -> None:
+        cur: List[int] = []
+        cur_max = 0.0
+        for idx in self.order:
+            l = float(self.input_lengths[idx])
+            new_max = max(cur_max, l)
+            # padded cost model: batch cost = padded_len * (n+1)
+            if cur and new_max * (len(cur) + 1) > max_frames:
+                arr = np.asarray(cur)
+                t, u = self._pad_shape(arr)
+                self.batches.append(BatchSpec(cur, t, u))
+                cur, cur_max = [], 0.0
+                new_max = l
+            cur.append(int(idx))
+            cur_max = new_max
+        if cur:
+            arr = np.asarray(cur)
+            t, u = self._pad_shape(arr)
+            self.batches.append(BatchSpec(cur, t, u))
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[BatchSpec]:
+        return iter(self.batches)
+
+    def shuffled(self, seed: int) -> List[BatchSpec]:
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(len(self.batches))
+        return [self.batches[i] for i in perm]
+
+
+def filter_samples(
+    samples: Sequence[ListSample],
+    target_lengths: Sequence[int],
+    min_input_ms: float = 0.0,
+    max_input_ms: float = 1e9,
+    min_target: float = 0.0,
+    max_target: float = 1e9,
+) -> List[int]:
+    """Length filters (``--minisz/--maxisz/--mintsz/--maxtsz``)."""
+    keep = []
+    for i, s in enumerate(samples):
+        if not (min_input_ms <= s.duration_ms <= max_input_ms):
+            continue
+        if not (min_target <= target_lengths[i] <= max_target):
+            continue
+        keep.append(i)
+    return keep
+
+
+def pad_batch(
+    arrays: List[np.ndarray],
+    max_len: int,
+    pad_value: float = 0.0,
+    dtype=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length [L, ...] arrays into [B, max_len, ...] + lengths."""
+    b = len(arrays)
+    assert b > 0
+    trailing = arrays[0].shape[1:]
+    dtype = dtype or arrays[0].dtype
+    out = np.full((b, max_len) + trailing, pad_value, dtype=dtype)
+    lengths = np.zeros((b,), dtype=np.int32)
+    for i, a in enumerate(arrays):
+        l = min(a.shape[0], max_len)
+        out[i, :l] = a[:l]
+        lengths[i] = l
+    return out, lengths
+
+
+def make_batches(
+    input_arrays: List[np.ndarray],
+    target_arrays: List[np.ndarray],
+    spec: BatchSpec,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize one padded batch from per-sample arrays."""
+    xs = [input_arrays[i] for i in spec.indices]
+    ys = [target_arrays[i] for i in spec.indices]
+    x, xlen = pad_batch(xs, spec.max_input_frames, 0.0)
+    y, ylen = pad_batch(ys, spec.max_target_len, -1, dtype=np.int32)
+    return x, xlen, y, ylen

@@ -1,0 +1,17 @@
+from .frontend import (
+    FeatureParams,
+    Featurizer,
+    n_fft_for,
+    mel_filterbank,
+    num_frames,
+)
+from .specaug import SpecAugment
+
+__all__ = [
+    "FeatureParams",
+    "Featurizer",
+    "n_fft_for",
+    "mel_filterbank",
+    "num_frames",
+    "SpecAugment",
+]
