@@ -1,0 +1,246 @@
+"""Transformer and Conformer encoder layers (arch mnemonics ``TR``/``CFR``).
+
+Semantics match the reference's in-repo fork ``cpc/TransformerCPC.cpp``:
+  * wq/wk/wv: modelDim -> headDim*nHeads, init U(±0.707·sqrt(6/(in+out)));
+    q scaled by 1/sqrt(headDim).
+  * relative position embedding: param (2·bptt-1, headDim) added to attention
+    scores as a Transformer-XL-style bias over clamped relative offsets
+    (``TransformerCPC.cpp:118-123``).
+  * pad mask: log(valid) added to scores (``:135-143``).
+  * layerdrop: whole-layer Bernoulli scale f∈{0,1} (``:168-171``).
+  * preLN variant (reference ``preLN_``): h = f·LN1(attn(x)) + x;
+    out = f·LN2(mlp(h)) + h — note LN on the sublayer *output* (``:172-178``).
+    postLN: h = LN1(f·attn(x) + x); out = LN2(f·mlp(h) + h).
+  * MLP: w2(relu(w1(x))) — the fork disables inner dropout (``:96-100``).
+  * LayerNorm over the feature axis with scalar affine (AF dims {0,3}).
+
+Operates on stored (…, T, C) activations (AF (C, T, B, 1) reversed), i.e.
+attention over axis -2 — batched matmuls on the MXU, masks fused by XLA.
+
+Conformer follows fl::Conformer's structure (macaron FFN halves, MHSA with
+the same relative bias, depthwise conv module with swish), per the Conformer
+paper; reference constructor at ``SequentialBuilder.cpp:160-180``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import Dropout, LayerNorm
+
+Array = jnp.ndarray
+
+
+def _tf_linear_init(gain=1.0):
+    def init(key, shape):
+        in_dim, out_dim = shape[0], shape[1]
+        std = gain * math.sqrt(6.0 / (in_dim + out_dim))
+        return jax.random.uniform(key, shape, jnp.float32, -std, std)
+
+    return init
+
+
+def _tf_bias_init(in_dim, zero=False):
+    def init(key, shape):
+        std = 0.0 if zero else math.sqrt(1.0 / in_dim)
+        return jax.random.uniform(key, shape, jnp.float32, -std, std)
+
+    return init
+
+
+class TFLinear(nn.Module):
+    in_dim: int
+    out_dim: int
+    gain: float = 1.0
+    zero_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", _tf_linear_init(self.gain), (self.in_dim, self.out_dim))
+        b = self.param("bias", _tf_bias_init(self.in_dim, self.zero_bias), (self.out_dim,))
+        return x @ w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def _rel_position_bias(q: Array, pos_emb: Array, bptt: int) -> Array:
+    """q (..., H, T, Dh), pos_emb (2·bptt-1, Dh) -> bias (..., H, T, T).
+
+    bias[i, j] = q_i · pos_emb[clamp(i-j, -(bptt-1), bptt-1) + bptt-1]
+    computed as a (T, 2bptt-1) matmul + gather (MXU + cheap reindex).
+    """
+    T = q.shape[-2]
+    qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,R)
+    rel = np.arange(T)[:, None] - np.arange(T)[None, :]  # i - j
+    rel = np.clip(rel, -(bptt - 1), bptt - 1) + bptt - 1  # (T,T) in [0,R)
+    # advanced-index gather along the last axis: out[..., i, j] = qp[..., i, rel[i, j]]
+    i_idx = jnp.asarray(np.arange(T)[:, None])
+    return qp[..., i_idx, jnp.asarray(rel)]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    model_dim: int
+    head_dim: int
+    n_heads: int
+    bptt: int = 0
+    dropout: float = 0.0
+    causal: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # (..., T, C)
+        pad_mask: Optional[Array] = None,  # (..., T) True=valid
+        train: bool = False,
+    ) -> Array:
+        H, Dh = self.n_heads, self.head_dim
+        T = x.shape[-2]
+        q = TFLinear(self.model_dim, H * Dh, 0.707, name="wq")(x)
+        k = TFLinear(self.model_dim, H * Dh, 0.707, name="wk")(x)
+        v = TFLinear(self.model_dim, H * Dh, 0.707, name="wv")(x)
+
+        def split(a):  # (..., T, H*Dh) -> (..., H, T, Dh)
+            a = a.reshape(a.shape[:-1] + (H, Dh))
+            return jnp.moveaxis(a, -2, -3)
+
+        q, k, v = split(q), split(k), split(v)
+        q = q / math.sqrt(Dh)
+        scores = jnp.einsum("...td,...sd->...ts", q, k)  # (..., H, T, T)
+        if self.bptt > 0:
+            pos_emb = self.param(
+                "pos_emb",
+                lambda key, s: jax.random.uniform(key, s, jnp.float32, -0.1, 0.1),
+                (2 * self.bptt - 1, Dh),
+            )
+            scores = scores + _rel_position_bias(q, pos_emb, self.bptt)
+        neg = jnp.asarray(-1e30, scores.dtype)
+        if self.causal and T > 1:
+            cm = np.tril(np.ones((T, T), bool))
+            scores = jnp.where(jnp.asarray(cm), scores, neg)
+        if pad_mask is not None:
+            pm = pad_mask[..., None, None, :]  # (..., 1, 1, T) over keys
+            scores = jnp.where(pm, scores, neg)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = Dropout(self.dropout, name="attn_do")(attn, train=train)
+        out = jnp.einsum("...ts,...sd->...td", attn, v)  # (..., H, T, Dh)
+        out = jnp.moveaxis(out, -3, -2).reshape(x.shape[:-1] + (H * Dh,))
+        return TFLinear(H * Dh, self.model_dim, 1.0, True, name="wf")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Arch ``TR modelDim mlpDim nHead csz pDrop [pLayerdrop] [preLN] [futureMask]``."""
+
+    model_dim: int
+    mlp_dim: int
+    n_heads: int
+    bptt: int
+    dropout: float = 0.0
+    layerdrop: float = 0.0
+    pre_ln: bool = False
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None, train: bool = False) -> Array:
+        head_dim = self.model_dim // self.n_heads
+        attn = MultiHeadSelfAttention(
+            self.model_dim, head_dim, self.n_heads, self.bptt, self.dropout,
+            self.causal, name="attn",
+        )
+        ln1 = LayerNorm((0, 3), name="norm1")
+        ln2 = LayerNorm((0, 3), name="norm2")
+
+        f = 1.0
+        if train and self.layerdrop > 0:
+            drop = jax.random.bernoulli(self.make_rng("dropout"), self.layerdrop)
+            f = jnp.where(drop, 0.0, 1.0).astype(x.dtype)
+
+        def mlp(h):
+            y = TFLinear(self.model_dim, self.mlp_dim, name="w1")(h)
+            y = jnp.maximum(y, 0)
+            return TFLinear(self.mlp_dim, self.model_dim, name="w2")(y)
+
+        a = attn(x, pad_mask=mask, train=train)
+        a = Dropout(self.dropout, name="do1")(a, train=train)
+        if self.pre_ln:
+            h = f * ln1(a) + x
+            m = Dropout(self.dropout, name="do2")(mlp(h), train=train)
+            return f * ln2(m) + h
+        h = ln1(f * a + x)
+        m = Dropout(self.dropout, name="do2")(mlp(h), train=train)
+        return ln2(f * m + h)
+
+
+class ConformerLayer(nn.Module):
+    """Arch ``CFR modelDim mlpDim nHead csz kernel pDrop [pLayerdrop]``."""
+
+    model_dim: int
+    mlp_dim: int
+    n_heads: int
+    bptt: int
+    conv_kernel: int
+    dropout: float = 0.0
+    layerdrop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None, train: bool = False) -> Array:
+        C = self.model_dim
+        head_dim = C // self.n_heads
+
+        def ffn(h, name):
+            h = LayerNorm((0, 3), name=f"{name}_ln")(h)
+            h = TFLinear(C, self.mlp_dim, name=f"{name}_w1")(h)
+            h = h * jax.nn.sigmoid(h)  # swish
+            h = Dropout(self.dropout, name=f"{name}_do1")(h, train=train)
+            h = TFLinear(self.mlp_dim, C, name=f"{name}_w2")(h)
+            return Dropout(self.dropout, name=f"{name}_do2")(h, train=train)
+
+        f = 1.0
+        if train and self.layerdrop > 0:
+            drop = jax.random.bernoulli(self.make_rng("dropout"), self.layerdrop)
+            f = jnp.where(drop, 0.0, 1.0).astype(x.dtype)
+
+        x = x + f * 0.5 * ffn(x, "ffn1")
+        a = MultiHeadSelfAttention(
+            C, head_dim, self.n_heads, self.bptt, self.dropout, name="attn"
+        )(LayerNorm((0, 3), name="attn_ln")(x), pad_mask=mask, train=train)
+        x = x + f * Dropout(self.dropout, name="attn_do")(a, train=train)
+        x = x + f * self._conv_module(x, mask, train)
+        x = x + f * 0.5 * ffn(x, "ffn2")
+        return LayerNorm((0, 3), name="final_ln")(x)
+
+    def _conv_module(self, x: Array, mask, train: bool) -> Array:
+        C, K = self.model_dim, self.conv_kernel
+        h = LayerNorm((0, 3), name="conv_ln")(x)
+        if mask is not None:
+            h = h * mask[..., None].astype(h.dtype)
+        h = TFLinear(C, 2 * C, name="conv_pw1")(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+        # depthwise conv over time: (..., T, C); pad SAME
+        dw = self.param(
+            "conv_dw",
+            lambda key, s: jax.random.normal(key, s, jnp.float32)
+            * math.sqrt(2.0 / K),
+            (K, C),
+        )
+        lead = h.shape[:-2]
+        T = h.shape[-2]
+        hh = h.reshape((-1, T, C))
+        pad = ((K - 1) // 2, K - 1 - (K - 1) // 2)
+        y = jax.lax.conv_general_dilated(
+            hh,
+            dw.astype(hh.dtype)[:, None, :],  # (K, 1, C) HIO
+            window_strides=(1,),
+            padding=(pad,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=C,
+        )
+        h = y.reshape(lead + (T, C))
+        h = LayerNorm((0, 3), name="conv_bn")(h)  # BN in paper; LN here (masked-safe)
+        h = h * jax.nn.sigmoid(h)
+        h = TFLinear(C, C, name="conv_pw2")(h)
+        return Dropout(self.dropout, name="conv_do")(h, train=train)
