@@ -1,0 +1,101 @@
+"""Benchmark: training throughput (audio-seconds/s/chip) on the flagship
+streaming_convnets TDS+CTC acoustic model (BASELINE.json north star).
+
+Runs the FULL training step — on-device MFSC frontend, 115M-param TDS
+encoder (the real reference arch file), CTC loss, backward, SGD+momentum
+update — on synthetic 15s utterances, and reports audio seconds processed
+per wall second per chip.
+
+Baseline constant: the reference repo publishes no throughput numbers
+(BASELINE.md); the A100 flashlight figure used for ``vs_baseline`` is an
+estimate of ~600 audio-s/s/chip for this model class (V100-era wav2letter++
+paper reports scaled to A100). The driver's north star is >= 3x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_BASELINE_AUDIO_S_PER_S = 600.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from wav2letter_tpu.features import FeatureParams, Featurizer
+    from wav2letter_tpu.ops.ctc import ctc_loss
+
+    from __graft_entry__ import _build_model
+
+    n_feat, n_label = 80, 9998
+    model = _build_model(n_feat, n_label)
+    featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
+    tx = optax.sgd(1e-3, momentum=0.9)
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    secs = float(os.environ.get("BENCH_SECS", "15"))
+    S = int(16000 * secs)
+    U = 160
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)), jnp.asarray([128]))
+    opt_state = tx.init(params)
+    audio = 0.1 * jax.random.normal(rng, (B, S), jnp.float32)
+    audio_len = jnp.full((B,), S, jnp.int32)
+    target = jnp.asarray(
+        np.random.RandomState(0).randint(0, n_label - 1, (B, U)).astype(np.int32)
+    )
+    target_len = jnp.full((B,), U, jnp.int32)
+
+    @jax.jit
+    def step(params, opt_state, audio, audio_len, target, target_len):
+        def loss_fn(p):
+            feats, flen = featurizer(audio, audio_len)
+            feats = feats.astype(jnp.bfloat16)
+            em, elen = model.apply(p, feats, flen)
+            losses = ctc_loss(em.astype(jnp.float32), target, elen, target_len)
+            return losses.mean() / 1000.0
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, opt_state, loss
+
+    # warmup/compile
+    params, opt_state, loss = step(params, opt_state, audio, audio_len, target, target_len)
+    jax.block_until_ready(loss)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(
+            params, opt_state, audio, audio_len, target, target_len
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    audio_s = B * secs * n_iters
+    value = audio_s / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_tds_ctc_115M",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / A100_BASELINE_AUDIO_S_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Arch DSL tests: parsing, shapes, param counts vs reference model sizes,
+train/eval behavior, residual blocks, real reference arch files."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2letter_tpu.models.arch import (
+    build_arch_from_lines,
+    build_arch_module,
+    parse_arch_lines,
+)
+
+REF = "/root/reference/recipes"
+
+
+def init_and_run(lines, nlabel, B=2, T=64, C=40, train=False):
+    m = build_arch_from_lines(lines, nlabel)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, C).astype(np.float32))
+    xl = jnp.asarray([T, T // 2], jnp.int32)
+    p = m.init({"params": jax.random.PRNGKey(0)}, x, xl)
+    rngs = {"dropout": jax.random.PRNGKey(1), "specaug": jax.random.PRNGKey(2)} if train else None
+    y, yl = m.apply(p, x, xl, train=train, rngs=rngs)
+    return m, p, np.asarray(y), np.asarray(yl)
+
+
+def test_conv_glu_stack():
+    lines = [
+        "V -1 1 40 0",
+        "WN 3 C 40 64 13 1 170",
+        "GLU 2",
+        "DO 0.2",
+        "RO 2 0 3 1",
+        "WN 0 L 32 64",
+        "GLU 0",
+        "WN 0 L 32 29",
+    ]
+    _, _, y, yl = init_and_run(lines, 29)
+    assert y.shape[0] == 2 and y.shape[2] == 29
+    assert yl[1] < yl[0]
+
+
+def test_tds_arch():
+    lines = [
+        "V -1 40 1 0",
+        "PD 0 5 3",
+        "C2 1 8 10 1 2 1 0 0",
+        "R",
+        "LN 1 2",
+        "TDS 8 9 40 0.1 0 1 0",
+        "TDS 8 9 40 0.1 0 -1 1",
+        "RO 2 1 0 3",
+        "V 320 -1 1 0",
+        "L 320 29",
+        "V 29 0 -1 1",
+    ]
+    _, _, y, yl = init_and_run(lines, 29)
+    assert y.shape == (2, 32, 29)
+
+
+def test_transformer_with_mask():
+    lines = [
+        "V -1 1 40 0",
+        "C 40 32 3 2 1",
+        "RO 2 0 3 1",
+        "TR 32 64 4 100 0.1 0.0 1",
+        "TR 32 64 4 100 0.1 0.5",
+        "L 32 29",
+    ]
+    _, _, y, yl = init_and_run(lines, 29, train=True)
+    assert y.shape[-1] == 29
+
+
+def test_residual_block():
+    lines = [
+        "V -1 1 16 0",
+        "RO 2 0 3 1",
+        "RES 2 1",
+        "L 16 16",
+        "SKIP 0 3 0.5",
+        "L 16 16",
+        "L 16 8",
+    ]
+    _, _, y, _ = init_and_run(lines, 8, C=16)
+    assert y.shape[-1] == 8
+
+
+def test_res_repeat_blocks():
+    lines = [
+        "V -1 1 16 0",
+        "RO 2 0 3 1",
+        "RES 1 1 3",
+        "L 16 16",
+        "SKIP 0 2",
+        "L 16 8",
+    ]
+    specs = parse_arch_lines(lines)
+    # RES repeated 3x + 3 other layers
+    assert len(specs) == 6
+
+
+def test_pool_and_activations():
+    lines = [
+        "V -1 1 40 0",
+        "C 40 16 3 1 1",
+        "M 2 1 2 1",
+        "ELU",
+        "RO 2 0 3 1",
+        "PR 1 0.1",
+        "L 16 29",
+        "LSM 0",
+    ]
+    _, _, y, _ = init_and_run(lines, 29)
+    # log-softmax output sums to 1 in prob space
+    np.testing.assert_allclose(np.exp(y).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_rnn_layers():
+    lines = ["V -1 1 20 0", "RO 2 0 3 1", "LSTM 20 16 1 1", "L 32 10"]
+    _, _, y, _ = init_and_run(lines, 10, C=20)
+    assert y.shape[-1] == 10
+
+
+def test_dropout_train_vs_eval():
+    lines = ["V -1 1 20 0", "RO 2 0 3 1", "DO 0.9", "L 20 10"]
+    m = build_arch_from_lines(lines, 10)
+    x = jnp.ones((1, 8, 20))
+    xl = jnp.asarray([8], jnp.int32)
+    p = m.init({"params": jax.random.PRNGKey(0)}, x, xl)
+    y_eval, _ = m.apply(p, x, xl)
+    y_eval2, _ = m.apply(p, x, xl)
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(y_eval2))
+    y_tr, _ = m.apply(p, x, xl, train=True, rngs={"dropout": jax.random.PRNGKey(5)})
+    assert not np.allclose(np.asarray(y_tr), np.asarray(y_eval))
+
+
+@pytest.mark.parametrize(
+    "arch,nfeat,nlabel,expect_mparams",
+    [
+        (f"{REF}/conv_glu/librispeech/network.arch", 40, 30, 208.9),
+        (f"{REF}/streaming_convnets/librispeech/am_500ms_future_context.arch", 80, 9998, 115.1),
+    ],
+)
+def test_reference_arch_files(arch, nfeat, nlabel, expect_mparams):
+    m = build_arch_module(arch, nfeat, nlabel)
+    T = 128
+    x = jnp.zeros((1, T, nfeat))
+    xl = jnp.asarray([T], jnp.int32)
+    p = m.init({"params": jax.random.PRNGKey(0)}, x, xl)
+    n = sum(v.size for v in jax.tree.leaves(p)) / 1e6
+    assert abs(n - expect_mparams) / expect_mparams < 0.02
+    y, yl = m.apply(p, x, xl)
+    assert y.shape[-1] == nlabel

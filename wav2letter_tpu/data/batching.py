@@ -172,6 +172,28 @@ def pad_batch(
     return out, lengths
 
 
+def pad_batch_rows(batch: dict, multiple: int) -> dict:
+    """Pad the batch (row) dimension to a multiple of the data-mesh size.
+
+    Pad rows get audio_len=0 / target_len=0 and sample_idx=-1; the train
+    step masks their losses out and meters skip them. Required because pjit
+    shards the leading axis over the data mesh axis (must divide evenly).
+    """
+    b = batch["audio"].shape[0]
+    target = round_up(b, multiple)
+    if target == b:
+        out = dict(batch)
+    else:
+        pad = target - b
+        out = {}
+        for k, v in batch.items():
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            fill = -1 if k == "sample_idx" else 0
+            out[k] = np.pad(v, widths, constant_values=fill)
+    out["row_mask"] = (out["sample_idx"] >= 0).astype(np.float32)
+    return out
+
+
 def make_batches(
     input_arrays: List[np.ndarray],
     target_arrays: List[np.ndarray],

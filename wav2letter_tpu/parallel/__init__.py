@@ -1,0 +1,4 @@
+from .mesh import make_mesh, MeshSpec
+from .sharding import shard_batch, shard_params, replicate
+
+__all__ = ["make_mesh", "MeshSpec", "shard_batch", "shard_params", "replicate"]

@@ -1,0 +1,113 @@
+"""Self-describing checkpoints.
+
+Reference semantics being matched (``Serializer::save/load``,
+``cpc/Train.cpp:652-719``; flag re-injection on load,
+``StreamingTDSModelConverter.cpp:148-172``):
+
+  * a checkpoint holds {version, serialized config (all flags), epoch,
+    update counter, model params, criterion params, optimizer states,
+    batch stats, rng} — fully self-describing: loading re-injects the
+    stored flags with CLI/flagsfile taking precedence.
+  * files: ``model_last.bin`` every save, ``model_iter_NNN.bin`` per epoch,
+    per-validset best ``model_<tag>.bin``, with ``NNN_`` run-index prefixes
+    on logs (continue mode bumps the index).
+  * ``continue`` = exact resume (optimizer state + counters);
+    ``fork`` = new run from old weights only.
+
+Format: single file = 8-byte magic + msgpack of a nested dict
+(flax.serialization), numpy arrays preserved. TPU arrays are fetched to
+host before writing; loading returns host arrays (device placement is the
+trainer's job, via its sharding rules).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+MAGIC = b"W2LTPU01"
+VERSION = 1
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    config: str  # serialized Config (json)
+    epoch: int
+    updates: int
+    model_params: Any
+    model_state: Any  # batch stats etc.
+    crit_params: Any
+    opt_state: Any
+    crit_opt_state: Any
+    extra: Dict[str, Any]
+    version: int = VERSION
+
+
+def _to_host(tree: Any) -> Any:
+    # to_state_dict converts arbitrary pytrees (incl. optax states, custom
+    # nodes) into nested plain dicts that msgpack can serialize
+    tree = serialization.to_state_dict(tree)
+    return jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+
+def save_checkpoint(path: str, ckpt: Checkpoint) -> None:
+    payload = {
+        "version": ckpt.version,
+        "config": ckpt.config,
+        "epoch": ckpt.epoch,
+        "updates": ckpt.updates,
+        "model_params": _to_host(ckpt.model_params),
+        "model_state": _to_host(ckpt.model_state),
+        "crit_params": _to_host(ckpt.crit_params),
+        "opt_state": _to_host(ckpt.opt_state),
+        "crit_opt_state": _to_host(ckpt.crit_opt_state),
+        "extra": _to_host(ckpt.extra),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Checkpoint:
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a wav2letter_tpu checkpoint")
+        payload = serialization.msgpack_restore(f.read())
+    return Checkpoint(
+        config=payload["config"],
+        epoch=int(payload["epoch"]),
+        updates=int(payload["updates"]),
+        model_params=payload["model_params"],
+        model_state=payload.get("model_state"),
+        crit_params=payload.get("crit_params"),
+        opt_state=payload.get("opt_state"),
+        crit_opt_state=payload.get("crit_opt_state"),
+        extra=payload.get("extra", {}),
+        version=int(payload["version"]),
+    )
+
+
+def run_index_paths(rundir: str) -> List[int]:
+    """Find existing NNN_ run indices (continue-mode bookkeeping)."""
+    idxs = set()
+    if os.path.isdir(rundir):
+        for f in os.listdir(rundir):
+            m = re.match(r"^(\d{3})_", f)
+            if m:
+                idxs.add(int(m.group(1)))
+    return sorted(idxs)
+
+
+def find_last_checkpoint(rundir: str) -> Optional[str]:
+    p = os.path.join(rundir, "model_last.bin")
+    return p if os.path.exists(p) else None
