@@ -195,7 +195,7 @@ class Conv2D(nn.Module):
             w = self.param("weight", _kaiming_normal, shape, fan_in)
         pw, ph = self._pads(x.shape[3], x.shape[2])
         y = jax.lax.conv_general_dilated(
-            x.astype(w.dtype) if x.dtype != w.dtype else x,
+            x,
             w.astype(x.dtype),
             window_strides=(self.sy, self.sx),
             padding=(ph, pw),
