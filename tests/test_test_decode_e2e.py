@@ -1,0 +1,154 @@
+"""Full pipeline e2e: train on synthetic tones until it learns, then run the
+Test executor (viterbi WER) and Decode executor (lexicon beam + tiny LM) and
+require beam decode to work and Test WER to be low."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.util_synth import LETTERS, make_dataset
+from wav2letter_tpu.config import Config
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    lst, tokens, lexicon = make_dataset(str(root), n_utts=32, seed=7)
+    arch = os.path.join(str(root), "tiny.arch")
+    with open(arch, "w") as f:
+        f.write(
+            "V -1 1 NFEAT 0\nC NFEAT 64 8 4 4\nGLU 2\nRO 2 0 3 1\nL 32 NLABEL\n"
+        )
+    cfg = Config()
+    cfg.update(
+        dict(
+            train=lst,
+            valid=f"dev:{lst}",
+            tokens=tokens,
+            lexicon=lexicon,
+            rundir=str(root),
+            runname="run",
+            batchsize=8,
+            mfsc=True,
+            filterbanks=40,
+            criterion="ctc",
+            lr=0.4,
+            netoptim="sgd",
+            maxgradnorm=1.0,
+            iter=300,
+            reportiters=0,
+            nthread=1,
+            pad_multiple=64,
+            compute_dtype="float32",
+            arch=arch,
+            onorm="target",
+            seed=5,
+        )
+    )
+    from wav2letter_tpu.runtime.train import Trainer
+
+    tr = Trainer(cfg)
+    tr.run()
+    return root, lst, tokens, lexicon, arch, tr
+
+
+def test_test_executor(trained):
+    root, lst, tokens, lexicon, arch, tr = trained
+    cfg = Config()
+    cfg.update(
+        dict(
+            am=os.path.join(tr.rundir, "model_last.bin"),
+            test=lst,
+            nthread=1,
+        )
+    )
+    from wav2letter_tpu.runtime.test import run_test
+
+    res = run_test(cfg)
+    assert res["TER"] < 25.0, f"model did not learn: TER={res['TER']}"
+
+
+def test_decode_executor_zerolm(trained):
+    root, lst, tokens, lexicon, arch, tr = trained
+    cfg = Config()
+    cfg.update(
+        dict(
+            am=os.path.join(tr.rundir, "model_last.bin"),
+            test=lst,
+            nthread=1,
+            nthread_decoder=2,
+            beamsize=20,
+            beamthreshold=100.0,
+            uselexicon=True,
+            smearing="max",
+            sclite=os.path.join(str(root), "sclite"),
+        )
+    )
+    from wav2letter_tpu.runtime.decode import run_decode
+
+    res = run_decode(cfg)
+    assert res["WER"] < 40.0
+    assert os.path.exists(
+        os.path.join(str(root), "sclite", os.path.basename(lst) + ".hyp")
+    )
+
+
+def test_decode_with_lm(trained, tmp_path):
+    root, lst, tokens, lexicon, arch, tr = trained
+    # uniform unigram LM over letters
+    arpa = "\\data\\\nngram 1=6\n\n\\1-grams:\n"
+    for l in LETTERS:
+        arpa += f"-0.7\t{l}\n"
+    arpa += "-1.0\t<s>\n-1.0\t</s>\n\n\\end\\\n"
+    lmp = tmp_path / "uni.arpa"
+    lmp.write_text(arpa)
+    cfg = Config()
+    cfg.update(
+        dict(
+            am=os.path.join(tr.rundir, "model_last.bin"),
+            test=lst,
+            nthread=1,
+            nthread_decoder=1,
+            beamsize=20,
+            beamthreshold=100.0,
+            uselexicon=True,
+            smearing="max",
+            lm=str(lmp),
+            lmweight=0.5,
+            wordscore=0.2,
+        )
+    )
+    from wav2letter_tpu.runtime.decode import run_decode
+
+    res = run_decode(cfg)
+    assert res["WER"] < 45.0
+
+
+def test_continue_mode(trained):
+    root, lst, tokens, lexicon, arch, tr = trained
+    cfg = Config()
+    cfg.update(
+        dict(
+            rundir=str(root),
+            runname="run",
+            iter=tr.updates + 4,
+            train=lst,
+            valid="",
+            tokens=tokens,
+            lexicon=lexicon,
+            batchsize=8,
+            mfsc=True,
+            filterbanks=40,
+            arch=arch,
+            nthread=1,
+            pad_multiple=64,
+            compute_dtype="float32",
+        )
+    )
+    from wav2letter_tpu.runtime.train import Trainer
+
+    tr2 = Trainer(cfg, mode="continue")
+    assert tr2.updates == tr.updates  # resumed counters
+    tr2.run()
+    assert tr2.updates == tr.updates + 4

@@ -1,0 +1,202 @@
+"""Decode executor — offline beam-search decoding (``fl_asr_decode``;
+reference call stack SURVEY.md §3.2, ``cpc/Decode.cpp``):
+
+AM forward (or ``--emission_dir`` cache) feeding an emission queue drained by
+``--nthread_decoder`` beam threads; per-thread decoder built from
+tokens/lexicon/LM flags; WER meters + sclite ``.hyp/.ref/.log`` outputs +
+beam dump. The TPU AM forward is batched (producer); beam search runs on
+host CPU threads exactly like the reference's consumer pool.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..data import AsrDataset, PrefetchIterator, make_word_dict
+from ..data.dictionary import unpack_replabels
+from ..data.targets import tokens_to_words
+from ..decoder import (
+    ArpaLM,
+    CriterionType,
+    DecoderOptions,
+    LexiconDecoder,
+    LexiconFreeDecoder,
+    SmearingMode,
+    Trie,
+    ZeroLM,
+)
+from .meters import DatasetMeters
+from .test import Evaluator
+
+
+def build_decoder(cfg, token_dict, lexicon, transitions=None):
+    """Construct the decoder per flags (reference Decode.cpp:242-624)."""
+    opts = DecoderOptions.from_config(cfg)
+    n_tokens = len(token_dict)
+    sil = token_dict.get_index(cfg.wordseparator) if cfg.wordseparator in token_dict else 0
+    blank = n_tokens - 1 if cfg.criterion == "ctc" else -1
+
+    use_lexicon = cfg.uselexicon and lexicon is not None
+    word_level_lm = cfg.decodertype == "wrd"
+
+    word_dict = make_word_dict(lexicon) if lexicon else None
+
+    lm = ZeroLM()
+    if cfg.lm:
+        if word_level_lm:
+            vocab = word_dict.entries() if word_dict else None
+            lm = ArpaLM(cfg.lm, usr_vocab=vocab)
+        else:
+            lm = ArpaLM(cfg.lm, usr_vocab=token_dict.entries())
+
+    if use_lexicon:
+        trie = Trie(n_tokens)
+        smear = {
+            "none": SmearingMode.NONE,
+            "max": SmearingMode.MAX,
+            "logadd": SmearingMode.LOGADD,
+        }[cfg.smearing]
+        # word unigram start scores from the LM (Decoder.cpp:73-94)
+        start_state = lm.start(False) if cfg.lm else None
+        for w, spellings in lexicon.entries.items():
+            widx = word_dict.get_index(w)
+            score = 0.0
+            if cfg.lm and word_level_lm:
+                _, score = lm.score(start_state, widx)
+            for sp in spellings:
+                toks = []
+                for t in sp:
+                    if token_dict.contains(t):
+                        toks.append(token_dict.get_index(t))
+                if cfg.criterion == "asg" and cfg.replabel > 0:
+                    from ..data.dictionary import pack_replabels
+
+                    base = n_tokens - cfg.replabel
+                    toks = pack_replabels(toks, cfg.replabel, base)
+                if toks:
+                    trie.insert(toks, widx, score)
+        trie.smear(smear)
+        unk = word_dict.get_index("<unk>") if word_dict else -1
+        dec = LexiconDecoder(
+            opts, trie, lm, sil, blank, unk,
+            transitions=transitions,
+            is_token_lm=not word_level_lm,
+        )
+        return dec, word_dict
+    dec = LexiconFreeDecoder(opts, lm, sil, blank, transitions=transitions)
+    return dec, word_dict
+
+
+def result_to_words(res, word_dict, token_dict, cfg, n_classes):
+    """DecodeResult -> word strings (reference Decoder.cpp:113-164)."""
+    words = [word_dict.get_entry(w) for w in res.words if w >= 0] if word_dict else None
+    if words:
+        return words
+    # token path: collapse + replabel unpack + split on separator
+    toks = [t for t in res.tokens if t >= 0]
+    dedup = []
+    prev = None
+    for t in toks:
+        if t != prev:
+            dedup.append(t)
+        prev = t
+    blank = n_classes - 1 if cfg.criterion == "ctc" else None
+    dedup = [t for t in dedup if t != blank]
+    if cfg.criterion == "asg" and cfg.replabel > 0:
+        dedup = unpack_replabels(dedup, cfg.replabel, n_classes - cfg.replabel)
+    return tokens_to_words(
+        token_dict.map_indices(dedup), cfg.wordseparator, cfg.usewordpiece
+    )
+
+
+def run_decode(cfg: Config) -> Dict[str, float]:
+    ev = Evaluator(cfg)
+    ecfg = ev.cfg
+    # decode flags come from the caller cfg, not the checkpoint
+    for k in ("lm", "lmweight", "wordscore", "silscore", "eosscore", "unkscore",
+              "beamsize", "beamsizetoken", "beamthreshold", "smearing",
+              "decodertype", "uselexicon", "logadd", "nthread_decoder", "sclite",
+              "show", "showletters", "isbeamdump"):
+        ecfg.update({k: cfg.get(k)})
+
+    ds = AsrDataset(ecfg.test, ev.token_dict, ev.lexicon, ecfg, batch_size=ecfg.batchsize)
+    trans = np.asarray(ev.transitions) if ev.transitions is not None else None
+
+    meters = DatasetMeters()
+    lock = threading.Lock()
+    emq: "queue.Queue" = queue.Queue(maxsize=ecfg.emission_queue_size)
+    sclite_rows: List[tuple] = []
+
+    def producer():
+        it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
+        for batch in it:
+            em, elen = ev.emissions(batch)
+            em = np.asarray(em)
+            elen = np.asarray(elen)
+            for i in range(em.shape[0]):
+                sidx = int(batch["sample_idx"][i])
+                tl = int(batch["target_len"][i])
+                emq.put(
+                    (
+                        ds.samples[sidx].sample_id,
+                        em[i, : int(elen[i])],
+                        [int(t) for t in batch["target"][i, :tl]],
+                    )
+                )
+        for _ in range(max(1, ecfg.nthread_decoder)):
+            emq.put(None)
+
+    def consumer():
+        dec, word_dict = build_decoder(ecfg, ev.token_dict, ev.lexicon, trans)
+        while True:
+            item = emq.get()
+            if item is None:
+                return
+            sid, em, ref_toks = item
+            res = dec.decode(em)[0]
+            hyp_w = result_to_words(res, word_dict, ev.token_dict, ecfg, ev.n_classes)
+            if ecfg.criterion == "asg" and ecfg.replabel > 0:
+                ref_toks = unpack_replabels(
+                    ref_toks, ecfg.replabel, ev.n_classes - ecfg.replabel
+                )
+            ref_w = tokens_to_words(
+                ev.token_dict.map_indices(ref_toks), ecfg.wordseparator, ecfg.usewordpiece
+            )
+            with lock:
+                meters.wrd_edit.add(ref_w, hyp_w)
+                hyp_toks_display = [t for t in res.tokens if t >= 0]
+                meters.tkn_edit.add(ref_toks, hyp_toks_display)
+                sclite_rows.append((sid, ref_w, hyp_w))
+                if ecfg.show:
+                    print(f"|T|: {' '.join(ref_w)}")
+                    print(f"|P|: {' '.join(hyp_w)}")
+
+    pt = threading.Thread(target=producer, daemon=True)
+    pt.start()
+    threads = [
+        threading.Thread(target=consumer, daemon=True)
+        for _ in range(max(1, ecfg.nthread_decoder))
+    ]
+    for t in threads:
+        t.start()
+    pt.join()
+    for t in threads:
+        t.join()
+
+    if ecfg.sclite:
+        os.makedirs(ecfg.sclite, exist_ok=True)
+        base = os.path.join(ecfg.sclite, os.path.basename(ecfg.test))
+        with open(base + ".hyp", "w") as fh, open(base + ".ref", "w") as fr:
+            for sid, ref_w, hyp_w in sclite_rows:
+                fh.write(f"{' '.join(hyp_w)} ({sid})\n")
+                fr.write(f"{' '.join(ref_w)} ({sid})\n")
+
+    res = {"WER": meters.wrd_edit.error_rate(), "TER": meters.tkn_edit.error_rate()}
+    print(f"[Decode {ecfg.test}] WER: {res['WER']:.2f}%")
+    return res

@@ -1,0 +1,151 @@
+"""Test executor — greedy/Viterbi evaluation (the ``fl_asr_test`` binary;
+reference call stack SURVEY.md §3.3, ``cpc/Test.cpp:43-360``):
+
+load AM checkpoint → re-inject stored flags (CLI wins) → dataset over
+``--test`` → forward → viterbiPath → token/word edit meters → optional
+``--show`` per-utterance output → optional emission serialization to
+``--emission_dir`` (consumed by Decode, App B.7 format analog).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import AsrDataset, Lexicon, PrefetchIterator, make_token_dict
+from ..data.targets import tokens_to_words
+from ..features import FeatureParams, Featurizer
+from ..models.arch import build_arch_module
+from ..ops.asg import asg_collapse, asg_viterbi
+from ..ops.ctc import ctc_collapse, ctc_viterbi
+from .checkpoint import load_checkpoint
+from .meters import DatasetMeters
+
+
+class Evaluator:
+    """Shared AM-forward + viterbi + meters machinery for Test/Decode."""
+
+    def __init__(self, cfg: Config, am_path: Optional[str] = None):
+        am_path = am_path or cfg.am
+        ckpt = load_checkpoint(am_path)
+        stored = Config.deserialize(ckpt.config)
+        merged = stored.asdict()
+        # CLI-provided evaluation flags override stored training flags
+        for k in (
+            "test", "datadir", "show", "showletters", "emission_dir", "sclite",
+            "batchsize", "validbatchsize", "maxisz", "minisz", "maxtsz", "mintsz",
+            "nthread", "lexicon", "tokens", "tokensdir", "pad_multiple",
+        ):
+            v = cfg.get(k)
+            if v not in ("", None):
+                merged[k] = v
+        self.cfg = Config(**{})
+        self.cfg.update(merged)
+        cfg = self.cfg
+
+        tokens_path = (
+            os.path.join(cfg.tokensdir, cfg.tokens) if cfg.tokensdir else cfg.tokens
+        )
+        self.token_dict = make_token_dict(
+            tokens_path, cfg.criterion, cfg.replabel, cfg.eostoken
+        )
+        self.n_classes = len(self.token_dict)
+        self.lexicon = Lexicon.from_file(cfg.lexicon, cfg.maxword) if cfg.lexicon else None
+
+        self.featurizer = Featurizer(FeatureParams.from_config(cfg))
+        self.n_feat = cfg.num_features()
+        arch_path = os.path.join(cfg.archdir, cfg.arch) if cfg.archdir else cfg.arch
+        self.model = build_arch_module(arch_path, self.n_feat, self.n_classes)
+
+        from flax import serialization
+
+        dummy = jnp.zeros((1, 64, self.n_feat))
+        dl = jnp.asarray([64], jnp.int32)
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy, dl)
+        params = serialization.from_state_dict(variables["params"], ckpt.model_params)
+        state = {k: v for k, v in variables.items() if k != "params"}
+        if ckpt.model_state:
+            state = serialization.from_state_dict(state, ckpt.model_state)
+        self.variables = {"params": params, **state}
+        self.crit_params = ckpt.crit_params or {}
+        self.transitions = None
+        if cfg.criterion == "asg" and self.crit_params:
+            self.transitions = jnp.asarray(self.crit_params["transitions"])
+
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, audio, audio_len):
+        feats, flen = self.featurizer(audio, audio_len)
+        feats = feats.astype(
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        em, elen = self.model.apply(self.variables, feats, flen)
+        return em.astype(jnp.float32), elen
+
+    def emissions(self, batch):
+        return self._fwd(jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]))
+
+    def viterbi(self, em, elen):
+        if self.cfg.criterion == "asg":
+            return asg_viterbi(em, self.transitions, elen)
+        return ctc_viterbi(em, elen)
+
+    def collapse(self, path_row, length):
+        toks = [int(t) for t in path_row[:length]]
+        if self.cfg.criterion == "asg":
+            base = self.n_classes - self.cfg.replabel
+            return asg_collapse([toks], self.cfg.replabel, base)[0]
+        return ctc_collapse([toks], self.n_classes - 1)[0]
+
+
+def run_test(cfg: Config) -> Dict[str, float]:
+    ev = Evaluator(cfg)
+    ecfg = ev.cfg
+    ds = AsrDataset(
+        ecfg.test, ev.token_dict, ev.lexicon, ecfg,
+        batch_size=ecfg.batchsize,
+    )
+    meters = DatasetMeters()
+    emission_dir = ecfg.emission_dir
+    if emission_dir:
+        os.makedirs(emission_dir, exist_ok=True)
+    it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
+    for batch in it:
+        em, elen = ev.emissions(batch)
+        vit = np.asarray(ev.viterbi(em, elen))
+        em_np = np.asarray(em)
+        elen_np = np.asarray(elen)
+        for i in range(vit.shape[0]):
+            sid = ds.samples[int(batch["sample_idx"][i])].sample_id
+            hyp_toks = ev.collapse(vit[i], int(elen_np[i]))
+            ref_toks = [int(t) for t in batch["target"][i, : int(batch["target_len"][i])]]
+            if ecfg.criterion == "asg" and ecfg.replabel > 0:
+                from ..data.dictionary import unpack_replabels
+
+                base = ev.n_classes - ecfg.replabel
+                ref_toks = unpack_replabels(ref_toks, ecfg.replabel, base)
+            meters.tkn_edit.add(ref_toks, hyp_toks)
+            ref_w = tokens_to_words(
+                ev.token_dict.map_indices(ref_toks), ecfg.wordseparator, ecfg.usewordpiece
+            )
+            hyp_w = tokens_to_words(
+                ev.token_dict.map_indices(hyp_toks), ecfg.wordseparator, ecfg.usewordpiece
+            )
+            meters.wrd_edit.add(ref_w, hyp_w)
+            if ecfg.show:
+                print(f"|T|: {' '.join(ref_w)}")
+                print(f"|P|: {' '.join(hyp_w)}")
+            if emission_dir:
+                np.savez(
+                    os.path.join(emission_dir, f"{sid}.npz"),
+                    emission=em_np[i, : int(elen_np[i])],
+                    sample_id=sid,
+                )
+    res = {"TER": meters.tkn_edit.error_rate(), "WER": meters.wrd_edit.error_rate()}
+    print(f"[Test {ecfg.test}] TER: {res['TER']:.2f}%, WER: {res['WER']:.2f}%")
+    return res
