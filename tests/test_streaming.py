@@ -1,0 +1,144 @@
+"""Streaming inference equivalence: chunked streaming execution must produce
+the SAME emissions as the batch model on the full utterance (the property the
+reference converter relies on, StreamingTDSModelConverter.cpp:71-79), plus
+streaming featurizer consistency and bundle round-trips."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2letter_tpu.features.frontend import FeatureParams, Featurizer
+from wav2letter_tpu.inference.convert import (
+    build_streaming_layers,
+    build_streaming_network,
+    map_params,
+)
+from wav2letter_tpu.inference.streaming import StreamingFeaturizer
+from wav2letter_tpu.models.arch import build_arch_from_lines
+
+NFEAT = 16
+NLABEL = 8
+
+STREAM_ARCH = [
+    f"V -1 {NFEAT} 1 0",
+    "PD 0 5 3",
+    "C2 1 6 10 1 2 1 0 0",
+    "R",
+    "LN 1 2",
+    f"TDS 6 7 {NFEAT} 0.0 0 2 0",
+    f"TDS 6 7 {NFEAT} 0.0 0 2 0",
+    "RO 2 1 0 3",
+    f"V {6 * NFEAT} -1 1 0",
+    f"L {6 * NFEAT} {NLABEL}",
+    f"V {NLABEL} 0 -1 1",
+]
+
+
+@pytest.fixture(scope="module")
+def model_and_stream():
+    m = build_arch_from_lines(STREAM_ARCH, NLABEL)
+    T = 64
+    x = jnp.zeros((1, T, NFEAT))
+    params = m.init({"params": jax.random.PRNGKey(42)}, x, jnp.asarray([T]))
+    net = build_streaming_network(STREAM_ARCH, NFEAT, params["params"])
+    return m, params, net
+
+
+def run_batch(m, params, feats):
+    y, _ = m.apply(params, jnp.asarray(feats), jnp.asarray([feats.shape[1]]))
+    return np.asarray(y)[0]
+
+
+def run_streaming(net, feats, chunk_frames):
+    states = net.start(1)
+    outs = []
+    T = feats.shape[1]
+    for s in range(0, T, chunk_frames):
+        chunk = feats[:, s : s + chunk_frames]  # (1, n, F)
+        x = jnp.asarray(chunk)[..., None]  # (1, n, F, 1)
+        states, y = net.run(states, x)
+        if y.shape[1]:
+            outs.append(np.asarray(y))
+    states, y = net.finish(states)
+    if y is not None and y.shape[1]:
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, axis=1)  # (1, T', 1, N)
+    return out[0, :, 0, :]
+
+
+@pytest.mark.parametrize("chunk", [8, 16, 50])
+def test_streaming_equals_batch(model_and_stream, chunk):
+    m, params, net = model_and_stream
+    rng = np.random.RandomState(0)
+    T = 100
+    feats = rng.randn(1, T, NFEAT).astype(np.float32)
+    batch_out = run_batch(m, params, feats)
+    stream_out = run_streaming(net, feats, chunk)
+    assert stream_out.shape == batch_out.shape, (
+        f"{stream_out.shape} vs {batch_out.shape}"
+    )
+    np.testing.assert_allclose(stream_out, batch_out, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_featurizer_matches_batch():
+    p = FeatureParams(n_filterbanks=20)
+    full = Featurizer(p)
+    sf = StreamingFeaturizer(p)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(16000).astype(np.float32) * 0.1
+    ref, _ = full(jnp.asarray(audio[None]))
+    ref = np.asarray(ref)[0]
+    st = sf.start()
+    outs = []
+    for s in range(0, len(audio), 1600):
+        st, f = sf.run(st, audio[s : s + 1600])
+        if len(f):
+            outs.append(f)
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_bundle_roundtrip(tmp_path):
+    """Train-checkpoint -> bundle -> load -> identical streaming output."""
+    from wav2letter_tpu.inference.convert import load_streaming_bundle
+    from flax import serialization
+
+    m = build_arch_from_lines(STREAM_ARCH, NLABEL)
+    T = 64
+    params = m.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, T, NFEAT)), jnp.asarray([T])
+    )
+    net = build_streaming_network(STREAM_ARCH, NFEAT, params["params"])
+    # serialize bundle manually (convert_checkpoint needs full train ckpt)
+    payload = {
+        "arch_lines": STREAM_ARCH,
+        "n_feat": NFEAT,
+        "params": {k: np.asarray(v) for k, v in net.params.items()},
+        "feature_cfg": {
+            "sample_rate": 16000,
+            "frame_size_ms": 25.0,
+            "frame_stride_ms": 10.0,
+            "n_filterbanks": NFEAT,
+            "local_norm_left": 0,
+            "local_norm_right": 0,
+        },
+        "tokens": ["a", "b"],
+        "criterion": "ctc",
+        "replabel": 0,
+        "wordseparator": "|",
+    }
+    from wav2letter_tpu.inference.convert import BUNDLE_MAGIC
+
+    bpath = tmp_path / "bundle.bin"
+    with open(bpath, "wb") as f:
+        f.write(BUNDLE_MAGIC)
+        f.write(serialization.msgpack_serialize(payload))
+    net2, featp, meta = load_streaming_bundle(str(bpath))
+    feats = np.random.RandomState(2).randn(1, 50, NFEAT).astype(np.float32)
+    o1 = run_streaming(net, feats, 16)
+    o2 = run_streaming(net2, feats, 16)
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
