@@ -24,8 +24,12 @@ def make_criterion(cfg, n_classes: int):
             transdiag=cfg.transdiag,
             replabel=cfg.replabel,
         )
-    if cfg.criterion in ("seq2seq", "transformer"):
+    if cfg.criterion == "seq2seq":
         from .seq2seq import Seq2SeqCriterion
 
         return Seq2SeqCriterion.from_config(cfg, n_classes)
+    if cfg.criterion == "transformer":
+        from .seq2seq import TransformerS2SCriterion
+
+        return TransformerS2SCriterion.from_config(cfg, n_classes)
     raise ValueError(f"unknown criterion: {cfg.criterion}")

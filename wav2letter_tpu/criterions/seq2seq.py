@@ -1,0 +1,349 @@
+"""Seq2Seq criterions — RNN (GRU) and Transformer attention decoders.
+
+Reference surface (upstream impls; constructed at ``cpc/Train.cpp:524-541``,
+flag set at ``recipes/seq2seq_tds/librispeech/train.cfg:24-40``):
+``--criterion=seq2seq`` (GRU attention decoder) and ``--criterion=
+transformer`` (transformer decoder, ``--am_decoder_tr_layers``). Honored:
+eos/pad appended to dict, ``--attention content|keyvalue|neural``, attention
+windows (``--attnWindow no|median|step|soft|softPretrain``),
+``--pctteacherforcing`` + ``--samplingstrategy rand|model``,
+``--labelsmooth``, ``--maxdecoderoutputlen``, ``--decoderrnnlayer``.
+
+TPU design: teacher-forced training decodes all target positions under one
+``lax.scan`` (single fused compilation, batch-wide steps); greedy decoding is
+the same scan with argmax feedback to a static length. Beam search uses
+``decode_step`` — a batched-over-hypotheses single step the host beam loop
+jits once (see decoder/seq2seq_beam.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .base import CriterionScaleMode, get_scale_mode, scale_losses
+
+Array = jnp.ndarray
+
+
+def _sinusoid(L, C, dtype):
+    pos = np.arange(L)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, C, 2) * (-math.log(10000.0) / C))
+    pe = np.zeros((L, C))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
+    return jnp.asarray(pe, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class S2SConfig:
+    n_classes: int
+    eos_idx: int
+    pad_idx: int
+    hidden: int = 256
+    n_layers: int = 1
+    attention: str = "content"  # content|keyvalue|neural
+    attn_window: str = "no"
+    pct_teacher_forcing: float = 100.0
+    sampling_strategy: str = "rand"
+    label_smooth: float = 0.0
+    dropout: float = 0.0
+    max_decoder_output_len: int = 200
+    window_left: int = 50
+    window_right: int = 50
+    softw_offset: float = 10.0
+    softw_rate: float = 5.0
+    softw_std: float = 5.0
+
+    @classmethod
+    def from_flags(cls, cfg, n_classes: int) -> "S2SConfig":
+        return cls(
+            n_classes=n_classes,
+            eos_idx=n_classes - 2,
+            pad_idx=n_classes - 1,
+            hidden=cfg.encoderdim or 256,
+            n_layers=max(1, cfg.decoderrnnlayer),
+            attention={"content": "content", "keyvalue": "keyvalue"}.get(
+                cfg.attention, "neural"
+            ),
+            attn_window=cfg.attnWindow,
+            pct_teacher_forcing=cfg.pctteacherforcing,
+            sampling_strategy=cfg.samplingstrategy,
+            label_smooth=cfg.labelsmooth,
+            dropout=cfg.decoderdropout,
+            max_decoder_output_len=cfg.maxdecoderoutputlen,
+            window_left=cfg.leftWindowSize,
+            window_right=cfg.rightWindowSize,
+            softw_offset=cfg.softwoffset,
+            softw_rate=cfg.softwrate,
+            softw_std=cfg.softwstd,
+        )
+
+
+def window_mask(kind, step_idx, T, prev_peak, c: S2SConfig):
+    t_idx = jnp.arange(T)[None, :]
+    if kind == "median":
+        lo = prev_peak[:, None] - c.window_left
+        hi = prev_peak[:, None] + c.window_right
+        return (t_idx >= lo) & (t_idx <= hi)
+    if kind == "step":
+        lo = step_idx * c.softw_rate - c.softw_offset
+        hi = step_idx * c.softw_rate + c.softw_offset
+        return (t_idx >= lo) & (t_idx <= hi)
+    if kind in ("soft", "softPretrain"):
+        center = c.softw_offset + step_idx * c.softw_rate
+        w = jnp.exp(-((t_idx - center) ** 2) / (2 * c.softw_std * c.softw_std))
+        return w > 1e-4
+    return None
+
+
+class Seq2SeqCriterion(nn.Module):
+    """GRU attention decoder criterion (fl Seq2SeqCriterion)."""
+
+    cfg: S2SConfig
+    scale_mode: CriterionScaleMode = CriterionScaleMode.NONE
+
+    @classmethod
+    def from_config(cls, cfg, n_classes: int):
+        return cls(S2SConfig.from_flags(cfg, n_classes), get_scale_mode(cfg.onorm, cfg.sqnorm))
+
+    def setup(self):
+        c = self.cfg
+        self.embedding = nn.Embed(c.n_classes, c.hidden)
+        self.cells = [nn.GRUCell(c.hidden, name=f"gru{i}") for i in range(c.n_layers)]
+        self.out = nn.Dense(c.n_classes)
+        if c.attention == "neural":
+            self.attn_w = nn.Dense(c.hidden)
+            self.attn_v = nn.Dense(1)
+
+    # -- attention ---------------------------------------------------------
+    def _attend(self, query, enc, mask):
+        c = self.cfg
+        if c.attention == "neural":
+            T = enc.shape[1]
+            q = jnp.repeat(query[:, None], T, axis=1)
+            h = jnp.tanh(self.attn_w(jnp.concatenate([q, enc], axis=-1)))
+            scores = self.attn_v(h)[..., 0]
+            keys = values = enc
+        else:
+            if c.attention == "keyvalue":
+                keys, values = jnp.split(enc, 2, axis=-1)
+            else:
+                keys = values = enc
+            scores = jnp.einsum("bh,bth->bt", query, keys) / math.sqrt(
+                keys.shape[-1]
+            )
+        scores = jnp.where(mask, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bt,bth->bh", attn, values), attn
+
+    # -- one decoder step --------------------------------------------------
+    def decode_step(self, state, tok, enc, enc_mask, step_idx, windowed=False):
+        """state = (hiddens tuple, prev_peak); returns (state, logits)."""
+        c = self.cfg
+        hiddens, prev_peak = state
+        x = self.embedding(tok)
+        new_h = []
+        for i, cell in enumerate(self.cells):
+            hi, x = cell(hiddens[i], x)
+            new_h.append(hi)
+        mask = enc_mask
+        if windowed and c.attn_window != "no":
+            wm = window_mask(c.attn_window, step_idx, enc.shape[1], prev_peak, c)
+            if wm is not None:
+                mask = mask & wm
+        mask = mask | (~jnp.any(mask, axis=-1, keepdims=True))
+        summary, a = self._attend(x, enc, mask)
+        logits = self.out(summary + x)
+        peak = jnp.argmax(a, axis=-1).astype(jnp.int32)
+        return (tuple(new_h), peak), logits
+
+    def init_state(self, batch: int, dtype=jnp.float32):
+        c = self.cfg
+        hiddens = tuple(jnp.zeros((batch, c.hidden), dtype) for _ in range(c.n_layers))
+        return (hiddens, jnp.zeros((batch,), jnp.int32))
+
+    # -- training loss -----------------------------------------------------
+    def __call__(self, emissions, targets, emis_len, target_len, train: bool = False):
+        c = self.cfg
+        B, T, _ = emissions.shape
+        U = targets.shape[1]
+        enc_mask = jnp.arange(T)[None, :] < emis_len[:, None]
+        tgt_in = jnp.where(targets < 0, c.pad_idx, targets)
+        sos = jnp.full((B, 1), c.eos_idx, jnp.int32)
+        dec_in = jnp.concatenate([sos, tgt_in], axis=1)  # (B, U+1)
+        if self.is_initializing():
+            # create all params OUTSIDE the scan (flax cannot initialize
+            # inside lax.scan); the scan below then only reads them
+            self.decode_step(
+                self.init_state(B, emissions.dtype), dec_in[:, 0],
+                emissions, enc_mask, 0,
+            )
+        tf_rng = None
+        if train and c.pct_teacher_forcing < 100.0:
+            tf_rng = self.make_rng("dropout")
+        use_window = c.attn_window not in ("no",) and (
+            train and c.attn_window != "softPretrain" or c.attn_window == "softPretrain"
+        )
+
+        def body(carry, u):
+            state, prev_tok = carry
+            state, logits = self.decode_step(
+                state, prev_tok, emissions, enc_mask, u, windowed=use_window
+            )
+            next_tok = dec_in[:, jnp.minimum(u + 1, U)]
+            if tf_rng is not None:
+                use_tf = jax.random.uniform(jax.random.fold_in(tf_rng, u), (B,)) < (
+                    c.pct_teacher_forcing / 100.0
+                )
+                if c.sampling_strategy == "model":
+                    sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    sampled = jax.random.randint(
+                        jax.random.fold_in(tf_rng, 10000 + u), (B,), 0, c.n_classes
+                    )
+                next_tok = jnp.where(use_tf, next_tok, sampled)
+            return (state, next_tok), logits
+
+        (_, _), all_logits = jax.lax.scan(
+            body, (self.init_state(B, emissions.dtype), dec_in[:, 0]), jnp.arange(U + 1)
+        )
+        logits = all_logits.transpose(1, 0, 2)  # (B, U+1, N)
+        return self._nll(logits, tgt_in, target_len, emis_len)
+
+    def _nll(self, logits, tgt_in, target_len, emis_len):
+        c = self.cfg
+        B, U1, _ = logits.shape
+        U = U1 - 1
+        u_idx = jnp.arange(U1)[None, :]
+        gold = jnp.concatenate(
+            [tgt_in, jnp.full((B, 1), c.pad_idx, jnp.int32)], axis=1
+        )[:, :U1]
+        gold = jnp.where(u_idx == target_len[:, None], c.eos_idx, gold)
+        valid = u_idx <= target_len[:, None]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, gold[..., None], axis=-1)[..., 0]
+        if c.label_smooth > 0:
+            nll = (1 - c.label_smooth) * nll + c.label_smooth * (-logp.mean(-1))
+        losses = jnp.sum(jnp.where(valid, nll, 0.0), axis=1)
+        return scale_losses(losses, self.scale_mode, emis_len, target_len + 1)
+
+    # -- greedy ("viterbi") decode ----------------------------------------
+    def greedy_path(self, emissions, emis_len):
+        c = self.cfg
+        B, T, _ = emissions.shape
+        enc_mask = jnp.arange(T)[None, :] < emis_len[:, None]
+        L = c.max_decoder_output_len
+
+        def body(carry, u):
+            state, prev_tok, done = carry
+            state, logits = self.decode_step(state, prev_tok, emissions, enc_mask, u)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = jnp.where(done, c.pad_idx, tok)
+            done = done | (tok == c.eos_idx)
+            return (state, tok, done), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            body,
+            (self.init_state(B, emissions.dtype),
+             jnp.full((B,), c.eos_idx, jnp.int32), jnp.zeros((B,), bool)),
+            jnp.arange(L),
+        )
+        toks = toks.transpose(1, 0)
+        is_end = (toks == c.eos_idx) | (toks == c.pad_idx)
+        lengths = jnp.argmax(is_end, axis=1)
+        lengths = jnp.where(jnp.any(is_end, axis=1), lengths, L)
+        return toks, lengths.astype(jnp.int32)
+
+
+class TransformerS2SCriterion(nn.Module):
+    """Transformer attention-decoder criterion (fl TransformerCriterion;
+    ``--criterion=transformer`` with ``--am_decoder_tr_layers`` layers)."""
+
+    cfg: S2SConfig
+    scale_mode: CriterionScaleMode = CriterionScaleMode.NONE
+    n_tr_layers: int = 2
+    n_heads: int = 4
+
+    @classmethod
+    def from_config(cls, cfg, n_classes: int):
+        return cls(
+            S2SConfig.from_flags(cfg, n_classes),
+            get_scale_mode(cfg.onorm, cfg.sqnorm),
+            n_tr_layers=max(1, cfg.am_decoder_tr_layers),
+        )
+
+    def setup(self):
+        c = self.cfg
+        self.embedding = nn.Embed(c.n_classes, c.hidden)
+        self.out = nn.Dense(c.n_classes)
+        self.self_attn = [
+            nn.MultiHeadDotProductAttention(self.n_heads, qkv_features=c.hidden, name=f"self{i}")
+            for i in range(self.n_tr_layers)
+        ]
+        self.cross_attn = [
+            nn.MultiHeadDotProductAttention(self.n_heads, qkv_features=c.hidden, name=f"cross{i}")
+            for i in range(self.n_tr_layers)
+        ]
+        self.ln1 = [nn.LayerNorm(name=f"ln1_{i}") for i in range(self.n_tr_layers)]
+        self.ln2 = [nn.LayerNorm(name=f"ln2_{i}") for i in range(self.n_tr_layers)]
+        self.ln3 = [nn.LayerNorm(name=f"ln3_{i}") for i in range(self.n_tr_layers)]
+        self.ff1 = [nn.Dense(4 * c.hidden, name=f"ff1_{i}") for i in range(self.n_tr_layers)]
+        self.ff2 = [nn.Dense(c.hidden, name=f"ff2_{i}") for i in range(self.n_tr_layers)]
+
+    def _decode_all(self, dec_in, enc, enc_mask):
+        c = self.cfg
+        U1 = dec_in.shape[1]
+        x = self.embedding(dec_in) + _sinusoid(U1, c.hidden, enc.dtype)[None]
+        causal = jnp.tril(jnp.ones((U1, U1), bool))
+        for i in range(self.n_tr_layers):
+            h = self.ln1[i](x)
+            x = x + self.self_attn[i](h, h, mask=causal[None, None])
+            h = self.ln2[i](x)
+            x = x + self.cross_attn[i](h, enc, mask=enc_mask[:, None, None, :])
+            h = self.ln3[i](x)
+            x = x + self.ff2[i](jax.nn.gelu(self.ff1[i](h)))
+        return self.out(x)
+
+    def __call__(self, emissions, targets, emis_len, target_len, train: bool = False):
+        c = self.cfg
+        B, T, _ = emissions.shape
+        U = targets.shape[1]
+        enc_mask = jnp.arange(T)[None, :] < emis_len[:, None]
+        tgt_in = jnp.where(targets < 0, c.pad_idx, targets)
+        sos = jnp.full((B, 1), c.eos_idx, jnp.int32)
+        dec_in = jnp.concatenate([sos, tgt_in], axis=1)
+        logits = self._decode_all(dec_in, emissions, enc_mask)
+        return Seq2SeqCriterion._nll(self, logits, tgt_in, target_len, emis_len)
+
+    def greedy_path(self, emissions, emis_len):
+        """Greedy decode by incremental re-run (O(L^2) but simple/correct;
+        beam decoding uses the cached variant in seq2seq_beam)."""
+        c = self.cfg
+        B, T, _ = emissions.shape
+        enc_mask = jnp.arange(T)[None, :] < emis_len[:, None]
+        L = c.max_decoder_output_len
+        toks = jnp.full((B, L + 1), c.eos_idx, jnp.int32)
+        done = jnp.zeros((B,), bool)
+
+        def body(carry, u):
+            toks, done = carry
+            logits = self._decode_all(toks, emissions, enc_mask)  # (B, L+1, N)
+            nxt = jnp.argmax(logits[:, u], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, c.pad_idx, nxt)
+            done = done | (nxt == c.eos_idx)
+            toks = toks.at[:, u + 1].set(nxt)
+            return (toks, done), nxt
+
+        (toks, _), outs = jax.lax.scan(body, (toks, done), jnp.arange(L))
+        outs = outs.transpose(1, 0)
+        is_end = (outs == c.eos_idx) | (outs == c.pad_idx)
+        lengths = jnp.argmax(is_end, axis=1)
+        lengths = jnp.where(jnp.any(is_end, axis=1), lengths, L)
+        return outs, lengths.astype(jnp.int32)

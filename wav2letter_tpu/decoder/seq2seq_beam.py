@@ -1,0 +1,223 @@
+"""Seq2Seq beam-search decoders (decoder-in-the-loop).
+
+Reference: ``LexiconSeq2SeqDecoder`` / ``LexiconFreeSeq2SeqDecoder`` driven
+by an ``amUpdateFunc`` that runs the attention decoder on the current
+hypothesis set (``cpc/Decode.cpp:529-624``; S2S options eosScore,
+attentionThreshold, hard/soft selection).
+
+TPU design: the "amUpdateFunc" is a jitted, batched-over-hypotheses step
+``(state, prev_tokens) -> (log_probs (K, N), new_state, attn_peak)`` built
+from the criterion; the host loop ranks/extends hypotheses. All K hyps are
+advanced in ONE device call per step — the beam is the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .beam import DecodeResult, DecoderOptions, _logadd
+from .lm import LM, ZeroLM
+from .trie import Trie, TrieNode
+
+NEG_INF = -math.inf
+
+
+def make_s2s_update_fn(criterion, crit_params, emissions: np.ndarray, emis_len: int):
+    """Build the batched decoder-step function for one utterance.
+
+    criterion: a bound-able Seq2SeqCriterion (module def), crit_params its
+    params; emissions (T, H). Returns (step_fn, init_state_fn).
+    """
+    em = jnp.asarray(emissions)[None]  # (1, T, H)
+
+    @jax.jit
+    def step(hiddens, peaks, toks):
+        K = toks.shape[0]
+        enc = jnp.broadcast_to(em, (K,) + em.shape[1:])
+        mask = jnp.arange(enc.shape[1])[None, :] < emis_len
+        mask = jnp.broadcast_to(mask, (K, enc.shape[1]))
+        state = (tuple(hiddens), peaks)
+        (new_h, new_peaks), logits = criterion.apply(
+            {"params": crit_params}, state, toks, enc, mask, 0,
+            method="decode_step",
+        )
+        return list(new_h), new_peaks, jax.nn.log_softmax(logits, axis=-1)
+
+    def init_state(k: int):
+        c = criterion.cfg
+        return (
+            [np.zeros((k, c.hidden), np.float32) for _ in range(c.n_layers)],
+            np.zeros((k,), np.int32),
+        )
+
+    return step, init_state
+
+
+@dataclasses.dataclass
+class _S2SHyp:
+    score: float
+    am_score: float
+    lm_score: float
+    tokens: List[int]
+    words: List[int]
+    lm_state: object
+    node: Optional[TrieNode]
+    state_idx: int  # row in the batched decoder state
+    peak: int = 0
+
+
+class Seq2SeqDecoderBase:
+    def __init__(
+        self,
+        opts: DecoderOptions,
+        eos_idx: int,
+        update_fn,
+        init_state_fn,
+        lm: Optional[LM] = None,
+        max_output_len: int = 200,
+        attention_threshold: float = float("inf"),
+    ):
+        self.opts = opts
+        self.eos = eos_idx
+        self.update_fn = update_fn
+        self.init_state_fn = init_state_fn
+        self.lm = lm or ZeroLM()
+        self.max_output_len = max_output_len
+        self.attention_threshold = attention_threshold
+
+    def _lm_extend(self, hyp: _S2SHyp, tok: int) -> Tuple[object, float]:
+        if self.opts.lm_weight == 0.0:
+            return hyp.lm_state, 0.0
+        st, s = self.lm.score(hyp.lm_state, tok)
+        return st, s
+
+    def _allowed_tokens(self, hyp: _S2SHyp) -> Optional[set]:
+        return None  # lexicon-free: everything
+
+    def _token_extend(self, hyp, tok):
+        """Returns (new_node, words_emitted) or None if not allowed."""
+        return None, []
+
+    def decode(self, n_best: int = 1) -> List[DecodeResult]:
+        opts = self.opts
+        K = opts.beam_size
+        hiddens, peaks = self.init_state_fn(1)
+        start = _S2SHyp(0.0, 0.0, 0.0, [], [], self.lm.start(False),
+                        getattr(self, "trie", None) and self.trie.root, 0)
+        beam = [start]
+        finished: List[_S2SHyp] = []
+        for step_i in range(self.max_output_len):
+            k = len(beam)
+            toks = np.asarray(
+                [h.tokens[-1] if h.tokens else self.eos for h in beam], np.int32
+            )
+            # gather states
+            h_in = [np.asarray(h)[[hh.state_idx for hh in beam]] for h in hiddens]
+            p_in = np.asarray(peaks)[[hh.state_idx for hh in beam]]
+            new_h, new_peaks, logp = self.update_fn(h_in, jnp.asarray(p_in), jnp.asarray(toks))
+            logp = np.asarray(logp)
+            new_peaks_np = np.asarray(new_peaks)
+            cands: List[_S2SHyp] = []
+            n_tok = min(opts.beam_size_token, logp.shape[1])
+            for bi, hyp in enumerate(beam):
+                # attention-peak monotonicity pruning (attentionThreshold)
+                row = logp[bi]
+                top = np.argpartition(-row, n_tok - 1)[:n_tok]
+                for tok in top:
+                    tok = int(tok)
+                    sc = hyp.score + float(row[tok])
+                    if tok == self.eos:
+                        fh = dataclasses.replace(
+                            hyp,
+                            score=sc + opts.eos_score,
+                            am_score=hyp.am_score + float(row[tok]),
+                        )
+                        finished.append(fh)
+                        continue
+                    ext = self._token_extend(hyp, tok)
+                    if ext is None:
+                        continue
+                    node, words, lm_delta, lm_state = ext
+                    nh = _S2SHyp(
+                        sc + opts.lm_weight * lm_delta + opts.word_score * len(words),
+                        hyp.am_score + float(row[tok]),
+                        hyp.lm_score + lm_delta,
+                        hyp.tokens + [tok],
+                        hyp.words + words,
+                        lm_state,
+                        node,
+                        bi,
+                        int(new_peaks_np[bi]),
+                    )
+                    cands.append(nh)
+            if not cands:
+                break
+            cands.sort(key=lambda h: -h.score)
+            best = cands[0].score
+            beam = [
+                h for h in cands[:K] if h.score >= best - opts.beam_threshold
+            ]
+            hiddens, peaks = new_h, new_peaks
+            if not beam:
+                break
+        if not finished:
+            finished = beam
+        # LM finish
+        out = []
+        for h in finished:
+            sc, lmsc = h.score, h.lm_score
+            if self.opts.lm_weight != 0.0:
+                _, s = self.lm.finish(h.lm_state)
+                sc += self.opts.lm_weight * s
+                lmsc += s
+            out.append((sc, h))
+        out.sort(key=lambda x: -x[0])
+        results = []
+        for sc, h in out[:n_best]:
+            results.append(
+                DecodeResult(sc, h.am_score, lmsc, h.words or [-1], h.tokens)
+            )
+        return results
+
+
+class LexiconFreeSeq2SeqDecoder(Seq2SeqDecoderBase):
+    """Token-level beam; optional token LM shallow fusion."""
+
+    def _token_extend(self, hyp, tok):
+        lm_state, s = self._lm_extend(hyp, tok)
+        return None, [], s, lm_state
+
+
+class LexiconSeq2SeqDecoder(Seq2SeqDecoderBase):
+    """Trie-constrained s2s beam with word-level LM."""
+
+    def __init__(self, opts, trie: Trie, lm, eos_idx, update_fn, init_state_fn,
+                 word_sep_idx: int = -1, max_output_len: int = 200):
+        self.trie = trie
+        self.word_sep = word_sep_idx
+        super().__init__(opts, eos_idx, update_fn, init_state_fn, lm,
+                         max_output_len)
+
+    def _token_extend(self, hyp, tok):
+        node = hyp.node or self.trie.root
+        if tok == self.word_sep and self.word_sep >= 0:
+            return self.trie.root, [], 0.0, hyp.lm_state
+        child = node.children.get(tok)
+        if child is None:
+            return None
+        words = []
+        lm_delta = 0.0
+        lm_state = hyp.lm_state
+        if child.labels:
+            w = child.labels[0]
+            words = [w]
+            if self.opts.lm_weight != 0.0:
+                lm_state, lm_delta = self.lm.score(hyp.lm_state, w)
+            return self.trie.root, words, lm_delta, lm_state
+        return child, [], 0.0, lm_state

@@ -121,13 +121,21 @@ class Trainer:
             )
 
         # --- model + criterion ---
+        self.is_s2s = cfg.criterion in ("seq2seq", "transformer")
+        # for attention criterions the network emits encoder states of
+        # --encoderdim, not per-class logits (reference s2s recipes)
+        out_dim = (
+            cfg.encoderdim
+            if self.is_s2s and cfg.encoderdim > 0
+            else self.n_classes
+        )
         arch_path = os.path.join(cfg.archdir, cfg.arch) if cfg.archdir else cfg.arch
         if arch_path.endswith(".py") or ":" in arch_path:
             from ..models.plugin import load_plugin_module
 
-            self.model = load_plugin_module(arch_path, self.n_feat, self.n_classes)
+            self.model = load_plugin_module(arch_path, self.n_feat, out_dim)
         else:
-            self.model = build_arch_module(arch_path, self.n_feat, self.n_classes)
+            self.model = build_arch_module(arch_path, self.n_feat, out_dim)
         self.criterion = make_criterion(cfg, self.n_classes)
 
         # --- init params ---
@@ -275,9 +283,9 @@ class Trainer:
             updc, crit_opt2 = self.crit_tx.update(g_crit, crit_opt, crit_params)
             crit_params2 = optax.apply_updates(crit_params, updc)
             # viterbi for train meters
-            vit = self._viterbi(crit_params, em, elen)
+            vit, vit_len = self._viterbi(crit_params, em, elen)
             return (model_params2, crit_params2, net_opt2, crit_opt2, loss,
-                    finite, vit, elen)
+                    finite, vit, vit_len)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -292,13 +300,19 @@ class Trainer:
         )
 
     def _viterbi(self, crit_params, em, elen):
+        """Returns (path (B, L), path_len (B,))."""
+        if self.is_s2s:
+            toks, lens = self.criterion.apply(
+                {"params": crit_params}, em, elen, method="greedy_path"
+            )
+            return toks, lens
         if self.cfg.criterion == "asg":
             from ..ops.asg import asg_viterbi
 
-            return asg_viterbi(em, crit_params["transitions"], elen)
+            return asg_viterbi(em, crit_params["transitions"], elen), elen
         from ..ops.ctc import ctc_viterbi
 
-        return ctc_viterbi(em, elen)
+        return ctc_viterbi(em, elen), elen
 
     def _make_eval_step(self):
         def step(model_params, crit_params, model_state, batch):
@@ -306,8 +320,8 @@ class Trainer:
                 model_params, crit_params, model_state, batch,
                 jax.random.PRNGKey(0), False, False,
             )
-            vit = self._viterbi(crit_params, em, elen)
-            return loss, vit, elen
+            vit, vit_len = self._viterbi(crit_params, em, elen)
+            return loss, vit, vit_len
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -330,6 +344,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _path_to_tokens(self, path_row, length) -> list:
         toks = [int(t) for t in path_row[:length]]
+        if self.is_s2s:
+            return toks  # already token sequence (greedy decode output)
         if self.cfg.criterion == "asg":
             base = self.n_classes - self.cfg.replabel
             return asg_collapse([toks], self.cfg.replabel, base)[0]
