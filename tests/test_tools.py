@@ -1,0 +1,204 @@
+"""Tools tests: data prep walkers, n-gram LM training + perplexity,
+wordpiece trainer, pseudo-label filtering, rescoring, sfx chain."""
+
+import json
+import math
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from wav2letter_tpu.tools import data_prep, ngram_lm, pseudo_label, rescore, wordpiece
+
+
+def write_wav(path, n_samples=1600, sr=16000):
+    data = (np.sin(np.linspace(0, 100, n_samples)) * 10000).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+def test_librispeech_prep(tmp_path):
+    # fake tree: split/spk/chap/{spk-chap.trans.txt, utt.wav}
+    d = tmp_path / "train-clean-100" / "19" / "198"
+    d.mkdir(parents=True)
+    write_wav(str(d / "19-198-0000.wav"))
+    write_wav(str(d / "19-198-0001.wav"))
+    (d / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO WORLD\n19-198-0001 FOO BAR BAZ\n"
+    )
+    out = tmp_path / "train.lst"
+    n = data_prep.prepare_librispeech_split(str(tmp_path), "train-clean-100", str(out))
+    assert n == 2
+    from wav2letter_tpu.data import read_list_file
+
+    s = read_list_file(str(out))
+    assert s[0].sample_id == "train-clean-100-19-198-0000"
+    assert s[0].transcript == "hello world"
+    assert abs(s[0].duration_ms - 100.0) < 1.0
+
+
+def test_timit_prep_and_folding(tmp_path):
+    d = tmp_path / "train" / "dr1" / "spk1"
+    d.mkdir(parents=True)
+    write_wav(str(d / "sa1.wav"))
+    (d / "sa1.phn").write_text("0 100 h#\n100 200 sh\n200 300 ix\n300 400 q\n")
+    out = tmp_path / "timit.lst"
+    n = data_prep.prepare_timit_split(str(tmp_path), "train", str(out))
+    assert n == 1
+    from wav2letter_tpu.data import read_list_file
+
+    s = read_list_file(str(out))[0]
+    # sh->sh? no: zh->sh; sh stays; ix->ih; q dropped
+    assert s.transcript == "h# sh ih"
+
+
+def test_wsj_normalization():
+    assert data_prep.wsj_normalize_word("HELLO") == "hello"
+    assert data_prep.wsj_normalize_word("[NOISE]") == ""
+    assert data_prep.wsj_normalize_word(".") == ""
+    d = data_prep.parse_wsj_dot_file.__doc__
+    assert "dot" in d
+
+
+def test_letter_tokens_and_lexicon(tmp_path):
+    lst = tmp_path / "x.lst"
+    lst.write_text("a /x 100 hello world\nb /y 100 hello there\n")
+    toks = data_prep.make_letter_tokens(str(tmp_path / "tokens.txt"))
+    assert toks[0] == "|" and "a" in toks and len(toks) == 28
+    n = data_prep.make_letter_lexicon([str(lst)], str(tmp_path / "lex.txt"))
+    assert n == 3
+    content = (tmp_path / "lex.txt").read_text()
+    assert "hello\th e l l o |" in content
+
+
+def test_ngram_lm_train_and_score(tmp_path):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the cat sat\nthe cat ran\nthe dog sat\na cat sat\n" * 5)
+    arpa = tmp_path / "lm.arpa"
+    lm = ngram_lm.train_ngram_lm(str(corpus), str(arpa), order=3)
+    from wav2letter_tpu.decoder.lm import ArpaLM
+
+    alm = ArpaLM(str(arpa))
+    # P(cat | the) should beat P(dog | the)
+    st = alm.start(True)
+    the = alm.vocab["the"]
+    st1 = alm._next_state((), the)
+    s_cat = alm.raw_score(st1, alm.vocab["cat"])
+    s_dog = alm.raw_score(st1, alm.vocab["dog"])
+    assert s_cat > s_dog
+    # perplexity of training-like text lower than of shuffled text
+    ppl_good = ngram_lm.perplexity(str(arpa), [["the", "cat", "sat"]] * 3)
+    ppl_bad = ngram_lm.perplexity(str(arpa), [["sat", "the", "dog"]] * 3)
+    assert ppl_good < ppl_bad
+
+
+def test_char_level_lm(tmp_path):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("ab ab\nab cd\n" * 10)
+    arpa = tmp_path / "char.arpa"
+    ngram_lm.train_ngram_lm(str(corpus), str(arpa), order=3, char_level=True)
+    from wav2letter_tpu.decoder.lm import ArpaLM
+
+    alm = ArpaLM(str(arpa))
+    assert "|" in alm.vocab and "a" in alm.vocab
+
+
+def test_wordpiece_trainer():
+    counts = {"hello": 50, "help": 30, "world": 40, "word": 20, "held": 10}
+    wp = wordpiece.UnigramWordPiece(vocab_size=20, max_piece_len=6)
+    wp.fit(counts)
+    enc = wp.encode_word("hello")
+    assert "".join(enc).replace("_", "") == "hello"
+    assert enc[0].startswith("_")
+    nb = wp.nbest_word("world", 3)
+    assert all("".join(s).replace("_", "") == "world" for s in nb)
+    # unseen word still encodable (char fallback)
+    enc2 = wp.encode_word("zzz")
+    assert "".join(enc2).replace("_", "") == "zzz"
+
+
+def test_wordpiece_artifacts(tmp_path):
+    counts = {"aba": 5, "abb": 5, "bab": 5}
+    wp = wordpiece.UnigramWordPiece(vocab_size=10, max_piece_len=3)
+    wp.fit(counts)
+    toks = wp.save_tokens(counts, str(tmp_path / "wp.tokens"))
+    assert len(toks) > 0
+    wp.save_lexicon(counts.keys(), str(tmp_path / "wp.lexicon"), n_best=2)
+    lines = (tmp_path / "wp.lexicon").read_text().strip().split("\n")
+    assert all("\t" in l for l in lines)
+
+
+def test_pl_filtering():
+    cfg = pseudo_label.PLFilterConfig(score_quantile=0.25, max_ngram_repeats=1,
+                                      ngram_order=2)
+    hyps = [
+        ("a", ["good", "clean", "hyp"], 1.0, True),
+        ("b", ["no", "eos"], 0.9, False),
+        ("c", ["loop", "x", "loop", "x", "loop", "x"], 0.8, True),
+        ("d", ["low", "score"], -99.0, True),
+        ("e", ["fine", "words", "here"], 0.5, True),
+    ]
+    kept = pseudo_label.filter_pseudo_labels(hyps, cfg)
+    ids = [k[0] for k in kept]
+    assert "a" in ids and "e" in ids
+    assert "b" not in ids and "c" not in ids and "d" not in ids
+
+
+def test_pl_list_and_lexicon_merge(tmp_path):
+    lst = tmp_path / "unsup.lst"
+    lst.write_text("u1 /a.wav 100 \nu2 /b.wav 200 \n")
+    labels = {"u1": ["new", "words"]}
+    out = tmp_path / "pl.lst"
+    n = pseudo_label.write_pseudo_labeled_list(str(lst), labels, str(out))
+    assert n == 1
+    lex = tmp_path / "lex.txt"
+    lex.write_text("old\to l d |\n")
+    added = pseudo_label.merge_synthetic_lexicon(str(lex), ["new", "old"], str(lex))
+    assert added == 1
+    stats = pseudo_label.analyze_dataset(str(out))
+    assert stats["num_samples"] == 1
+
+
+def test_rescoring():
+    beams = {
+        "s1": [
+            rescore.BeamHyp("s1", ["the", "cat"], am_score=10.0, lm_score=-1.0),
+            rescore.BeamHyp("s1", ["the", "bat"], am_score=10.5, lm_score=-3.0),
+        ]
+    }
+    refs = {"s1": ["the", "cat"]}
+    lm_fn = lambda ws: 0.0 if ws == ["the", "cat"] else -10.0
+    w, wer = rescore.grid_search_weights(beams, refs, lm_fn)
+    assert wer == 0.0
+    out = rescore.rescore_beams(beams, lm_fn, w)
+    assert out["s1"] == ["the", "cat"]
+    assert rescore.oracle_wer(beams, refs) == 0.0
+
+
+def test_sfx_chain(tmp_path):
+    from wav2letter_tpu.data.sfx import read_sound_effect_config
+
+    noise = tmp_path / "noise.npy"
+    np.save(noise, np.random.RandomState(0).randn(8000).astype(np.float32) * 0.1)
+    nlist = tmp_path / "noise.txt"
+    nlist.write_text(str(noise) + "\n")
+    conf = [
+        {"type": "Normalize", "conf": {}},
+        {"type": "AdditiveNoise",
+         "conf": {"listFilePath": str(nlist), "minSnr": 10, "maxSnr": 20, "proba": 1.0}},
+        {"type": "Amplify", "conf": {"ratioMin": 0.9, "ratioMax": 1.1}},
+        {"type": "ReverbEcho", "conf": {"proba": 1.0}},
+        {"type": "ClampAmplitude"},
+    ]
+    cpath = tmp_path / "sfx.json"
+    cpath.write_text(json.dumps(conf))
+    chain = read_sound_effect_config(str(cpath), seed=1)
+    audio = np.sin(np.linspace(0, 50, 4000)).astype(np.float32) * 0.5
+    out = chain(audio)
+    assert out.shape == audio.shape
+    assert np.abs(out).max() <= 1.0
+    assert not np.allclose(out, audio)  # actually augmented

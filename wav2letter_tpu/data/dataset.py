@@ -113,6 +113,13 @@ class AsrDataset:
             world_rank=world_rank,
             world_size=world_size,
         )
+        # sound-effect augmentation chain (--sfx_config)
+        self.sfx = None
+        if cfg.sfx_config:
+            from .sfx import read_sound_effect_config
+
+            self.sfx = read_sound_effect_config(cfg.sfx_config, cfg.seed)
+
         # samples per frame for audio padding: frames*stride + framesize
         self.sr = cfg.samplerate
         self.stride_samples = int(round(stride_ms * self.sr / 1000.0))
@@ -139,6 +146,8 @@ class AsrDataset:
         tgt_len = np.zeros((b,), dtype=np.int32)
         for i, idx in enumerate(spec.indices):
             wav = load_audio(self.samples[idx].audio_path, self.sr)
+            if self.sfx is not None:
+                wav = self.sfx(wav)
             l = min(len(wav), s_max)
             audio[i, :l] = wav[:l]
             audio_len[i] = l

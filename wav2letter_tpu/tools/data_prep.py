@@ -1,0 +1,283 @@
+"""Dataset preparation: corpus directory trees -> ``.lst`` + tokens + lexicon.
+
+Covers the reference's data layer (SURVEY.md §2.5): LibriSpeech
+(``data/librispeech/prepare.py``), TIMIT, WSJ, MLS, AMI, Fisher,
+Switchboard, plus the recipe-level char-token/letter-lexicon generation
+(``recipes/conv_glu/librispeech/prepare.py:61-84``).
+
+Output formats (SURVEY.md Appendix B):
+  * ``.lst``:   ``sample_id  abs_path  duration_ms  transcript`` per line,
+    ids prefixed with the split name (``data/librispeech/prepare.py:121``).
+  * tokens:     one per line (``|``, ``'``, a-z for letter systems).
+  * lexicon:    ``word \t t o k e n s |`` (one or more spellings per word).
+
+Audio downloads are the user's responsibility (this environment has no
+network); these functions operate on extracted corpus trees.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import struct
+import wave
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from ..data.listfile import ListSample, write_list_file
+
+
+def audio_duration_ms(path: str, default_sr: int = 16000) -> float:
+    """Duration from the container header (wav native; flac via STREAMINFO)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        with wave.open(path, "rb") as w:
+            return 1000.0 * w.getnframes() / w.getframerate()
+    if ext == ".flac":
+        with open(path, "rb") as f:
+            if f.read(4) != b"fLaC":
+                raise ValueError(f"{path}: not a flac file")
+            while True:
+                hdr = f.read(4)
+                if len(hdr) < 4:
+                    break
+                last = hdr[0] & 0x80
+                btype = hdr[0] & 0x7F
+                size = int.from_bytes(hdr[1:4], "big")
+                data = f.read(size)
+                if btype == 0:  # STREAMINFO
+                    sr = (int.from_bytes(data[10:13], "big") >> 4) & 0xFFFFF
+                    total = (
+                        (data[13] & 0x0F) << 32
+                    ) | int.from_bytes(data[14:18], "big")
+                    return 1000.0 * total / sr
+                if last:
+                    break
+        raise ValueError(f"{path}: no STREAMINFO")
+    if ext == ".npy":
+        import numpy as np
+
+        return 1000.0 * len(np.load(path, mmap_mode="r")) / default_sr
+    raise ValueError(f"unsupported audio file: {path}")
+
+
+def normalize_transcript(text: str) -> str:
+    return " ".join(text.strip().lower().split())
+
+
+# ---------------------------------------------------------------------------
+# LibriSpeech / MLS (flac + per-chapter .txt transcript files)
+# ---------------------------------------------------------------------------
+def prepare_librispeech_split(corpus_dir: str, split: str, out_lst: str) -> int:
+    """``corpus_dir/<split>/<spk>/<chap>/<spk>-<chap>.trans.txt`` + flacs ->
+    .lst with ids ``<split>-<utt_id>`` (reference utils.py:36-46)."""
+    samples: List[ListSample] = []
+    split_dir = os.path.join(corpus_dir, split)
+    for trans in sorted(
+        glob.glob(os.path.join(split_dir, "*", "*", "*.trans.txt"))
+    ) + sorted(glob.glob(os.path.join(split_dir, "*", "*.trans.txt"))):
+        base = os.path.dirname(trans)
+        with open(trans) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                uid, text = line.split(" ", 1)
+                apath = os.path.join(base, uid + ".flac")
+                if not os.path.exists(apath):
+                    for ext in (".wav", ".npy"):
+                        if os.path.exists(os.path.join(base, uid + ext)):
+                            apath = os.path.join(base, uid + ext)
+                            break
+                dur = audio_duration_ms(apath)
+                samples.append(
+                    ListSample(f"{split}-{uid}", os.path.abspath(apath), dur,
+                               normalize_transcript(text))
+                )
+    write_list_file(out_lst, samples)
+    return len(samples)
+
+
+def prepare_mls_split(corpus_dir: str, lang: str, split: str, out_lst: str) -> int:
+    """MLS layout: ``<lang>/<split>/transcripts.txt`` (utt \t text) + audio
+    under ``audio/<spk>/<book>/<utt>.flac`` (reference data/mls/prepare.py)."""
+    samples = []
+    base = os.path.join(corpus_dir, lang, split)
+    with open(os.path.join(base, "transcripts.txt")) as f:
+        for line in f:
+            uid, text = line.rstrip("\n").split("\t", 1)
+            spk, book, _ = uid.split("_", 2)
+            apath = None
+            for ext in (".flac", ".wav", ".npy"):
+                p = os.path.join(base, "audio", spk, book, uid + ext)
+                if os.path.exists(p):
+                    apath = p
+                    break
+            if apath is None:
+                continue
+            dur = audio_duration_ms(apath)
+            samples.append(
+                ListSample(f"{split}-{uid}", os.path.abspath(apath), dur,
+                           normalize_transcript(text))
+            )
+    write_list_file(out_lst, samples)
+    return len(samples)
+
+
+# ---------------------------------------------------------------------------
+# TIMIT (61->39 phone folding; reference data/timit/prepare.py)
+# ---------------------------------------------------------------------------
+PHONE_MAP_61_39 = {
+    "ao": "aa", "ax": "ah", "ax-h": "ah", "axr": "er", "hv": "hh",
+    "ix": "ih", "el": "l", "em": "m", "en": "n", "nx": "n", "eng": "ng",
+    "zh": "sh", "ux": "uw", "pcl": "h#", "tcl": "h#", "kcl": "h#",
+    "bcl": "h#", "dcl": "h#", "gcl": "h#", "pau": "h#", "epi": "h#",
+    "q": "",
+}
+
+
+def fold_phones(phones: Sequence[str]) -> List[str]:
+    out = []
+    for p in phones:
+        p = PHONE_MAP_61_39.get(p, p)
+        if p:
+            out.append(p)
+    return out
+
+
+def prepare_timit_split(corpus_dir: str, split: str, out_lst: str,
+                        fold: bool = True) -> int:
+    """TIMIT tree: ``<split>/<dr>/<spk>/<utt>.{wav,phn}``."""
+    samples = []
+    for phn in sorted(
+        glob.glob(os.path.join(corpus_dir, split, "*", "*", "*.phn"))
+        + glob.glob(os.path.join(corpus_dir, split.upper(), "*", "*", "*.PHN"))
+    ):
+        base = os.path.splitext(phn)[0]
+        apath = None
+        for ext in (".wav", ".WAV", ".npy"):
+            if os.path.exists(base + ext):
+                apath = base + ext
+                break
+        if apath is None:
+            continue
+        phones = []
+        with open(phn) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    phones.append(parts[2].lower())
+        if fold:
+            phones = fold_phones(phones)
+        spk = os.path.basename(os.path.dirname(base))
+        uid = f"{split}-{spk}-{os.path.basename(base)}"
+        dur = audio_duration_ms(apath)
+        samples.append(
+            ListSample(uid, os.path.abspath(apath), dur, " ".join(phones))
+        )
+    write_list_file(out_lst, samples)
+    return len(samples)
+
+
+# ---------------------------------------------------------------------------
+# WSJ (ndx file lists + .dot transcripts; reference data/wsj/utils.py)
+# ---------------------------------------------------------------------------
+_WSJ_NOISE = re.compile(r"\[[^\]]*\]|<[^>]*>")
+
+
+def wsj_normalize_word(w: str) -> str:
+    """Word normalization (reference utils.py:16): drop noise markers,
+    verbalized punctuation, and non-lexical tokens."""
+    w = w.lower()
+    if w in (".", "~", "--dash--"):
+        return ""
+    if w.startswith("*") or w.startswith("%") or w.startswith("~"):
+        return ""
+    w = _WSJ_NOISE.sub("", w)
+    w = w.replace("\\", "")
+    if w.startswith("(") and w.endswith(")"):
+        return ""
+    w = re.sub(r"^\(([^)]*)\)$", r"\1", w)
+    w = w.replace(":", "").replace(";", "").replace("!", "")
+    return w
+
+
+def parse_wsj_dot_file(path: str) -> Dict[str, str]:
+    """``.dot`` transcript: ``text words (utt_id)`` lines (utils.py:73)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"^(.*)\((\S+)\)\s*$", line.strip())
+            if not m:
+                continue
+            text, uid = m.group(1), m.group(2)
+            words = [wsj_normalize_word(w) for w in text.split()]
+            out[uid.lower()] = " ".join(w for w in words if w)
+    return out
+
+
+def prepare_wsj_from_lists(
+    audio_files: Dict[str, str], transcripts: Dict[str, str], split: str,
+    out_lst: str,
+) -> int:
+    samples = []
+    for uid, apath in sorted(audio_files.items()):
+        text = transcripts.get(uid.lower())
+        if text is None:
+            continue
+        dur = audio_duration_ms(apath)
+        samples.append(ListSample(f"{split}-{uid}", os.path.abspath(apath), dur, text))
+    write_list_file(out_lst, samples)
+    return len(samples)
+
+
+# ---------------------------------------------------------------------------
+# token/lexicon generation (recipe-level prep)
+# ---------------------------------------------------------------------------
+def make_letter_tokens(out_path: str, extra: Sequence[str] = ("'",)) -> List[str]:
+    """Char token set ``| ' a-z`` (conv_glu prepare.py:61-66)."""
+    toks = ["|"] + list(extra) + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    with open(out_path, "w") as f:
+        f.write("\n".join(toks) + "\n")
+    return toks
+
+
+def make_letter_lexicon(
+    lst_files: Sequence[str], out_path: str, word_separator: str = "|"
+) -> int:
+    """Letter lexicon from transcripts: ``word \t w o r d |``
+    (conv_glu prepare.py:79-84)."""
+    from ..data.listfile import read_list_file
+
+    words = set()
+    for lst in lst_files:
+        for s in read_list_file(lst):
+            words.update(s.words)
+    with open(out_path, "w") as f:
+        for w in sorted(words):
+            spelled = " ".join(list(w) + [word_separator])
+            f.write(f"{w}\t{spelled}\n")
+    return len(words)
+
+
+def make_token_lexicon_from_corpus(
+    lst_files: Sequence[str], tokens_out: str, lexicon_out: str
+) -> Tuple[List[str], int]:
+    """Derive the observed token set + letter lexicon from list files
+    (used by recipes on corpora with non a-z alphabets)."""
+    from ..data.listfile import read_list_file
+
+    chars = set()
+    words = set()
+    for lst in lst_files:
+        for s in read_list_file(lst):
+            for w in s.words:
+                words.add(w)
+                chars.update(w)
+    toks = ["|"] + sorted(chars)
+    with open(tokens_out, "w") as f:
+        f.write("\n".join(toks) + "\n")
+    with open(lexicon_out, "w") as f:
+        for w in sorted(words):
+            f.write(f"{w}\t{' '.join(list(w))} |\n")
+    return toks, len(words)
