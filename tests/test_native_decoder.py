@@ -1,0 +1,168 @@
+"""Differential tests: native C++ decoder must match the Python decoder
+(same emissions, lexicon, LM, options -> same words and near-equal scores),
+plus a speed sanity check."""
+
+import math
+import time
+
+import numpy as np
+import pytest
+
+from wav2letter_tpu.decoder import (
+    ArpaLM,
+    CriterionType,
+    DecoderOptions,
+    LexiconDecoder,
+    LexiconFreeDecoder,
+    SmearingMode,
+    Trie,
+    ZeroLM,
+)
+
+native = pytest.importorskip("wav2letter_tpu.decoder.native")
+if not native.native_available():
+    pytest.skip("native extension unavailable", allow_module_level=True)
+
+from wav2letter_tpu.decoder.native import NativeBeamDecoder, NativeLM, NativeTrie
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.5\tab\t-0.3
+-0.8\tbc\t-0.2
+-1.5\t<unk>
+
+\\2-grams:
+-0.2\t<s> ab
+-0.4\tab bc
+-0.9\tbc </s>
+
+\\end\\
+"""
+
+N_TOK = 5  # 0=| 1=a 2=b 3=c 4=#
+
+
+def build_py(lm_path=None, opts=None):
+    trie = Trie(N_TOK)
+    trie.insert([1, 2], 0, -0.5)
+    trie.insert([2, 3], 1, -0.8)
+    trie.smear(SmearingMode.MAX)
+    lm = ArpaLM(lm_path, usr_vocab=["ab", "bc", "<unk>"]) if lm_path else ZeroLM()
+    opts = opts or DecoderOptions(
+        beam_size=30, beam_threshold=100.0, criterion_type=CriterionType.CTC,
+        lm_weight=2.0 if lm_path else 0.0, word_score=0.5,
+    )
+    return LexiconDecoder(opts, trie, lm, 0, 4, 2 if lm_path else -1), opts
+
+
+def build_native(lm_path=None, opts=None):
+    trie = NativeTrie(N_TOK)
+    trie.insert([1, 2], 0, -0.5)
+    trie.insert([2, 3], 1, -0.8)
+    trie.smear("max")
+    lm = NativeLM(lm_path, usr_vocab=["ab", "bc", "<unk>"]) if lm_path else None
+    opts = opts or DecoderOptions(
+        beam_size=30, beam_threshold=100.0, criterion_type=CriterionType.CTC,
+        lm_weight=2.0 if lm_path else 0.0, word_score=0.5,
+    )
+    return NativeBeamDecoder(opts, trie, lm, 0, 4, 2 if lm_path else -1, N_TOK), opts
+
+
+def rand_emissions(T, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randn(T, N_TOK).astype(np.float32) * 2.0
+
+
+def test_native_lm_scores(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    pylm = ArpaLM(str(p))
+    nlm = NativeLM(str(p))
+    for sent in (["ab", "bc"], ["ab"], ["bc", "ab"], ["zz"]):
+        py = pylm.score_sentence(sent)
+        ids = [nlm.lib.w2l_lm_word_id(nlm.ptr, w.encode()) for w in sent]
+        nat = nlm.score_sentence_ids(ids)
+        assert abs(py - nat) < 1e-4, f"{sent}: py={py} native={nat}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_differential_no_lm(seed):
+    em = rand_emissions(12, seed)
+    pyd, _ = build_py()
+    nd, _ = build_native()
+    rp = pyd.decode(em)[0]
+    rn = nd.decode(em)[0]
+    assert [w for w in rp.words if w >= 0] == [w for w in rn.words if w >= 0]
+    assert abs(rp.score - rn.score) < 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_differential_with_lm(tmp_path, seed):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    em = rand_emissions(10, seed + 100)
+    pyd, _ = build_py(str(p))
+    nd, _ = build_native(str(p))
+    rp = pyd.decode(em)[0]
+    rn = nd.decode(em)[0]
+    assert [w for w in rp.words if w >= 0] == [w for w in rn.words if w >= 0]
+    assert abs(rp.score - rn.score) < 1e-3
+
+
+def test_differential_asg_transitions():
+    trans = (np.random.RandomState(7).randn(N_TOK, N_TOK) * 0.5).astype(np.float32)
+    em = rand_emissions(8, 9)
+    opts = DecoderOptions(beam_size=30, beam_threshold=100.0,
+                          criterion_type=CriterionType.ASG)
+    trie = Trie(N_TOK)
+    trie.insert([1, 2], 0, 0.0)
+    trie.insert([2, 3], 1, 0.0)
+    trie.smear(SmearingMode.MAX)
+    pyd = LexiconDecoder(opts, trie, ZeroLM(), 0, -1, -1, transitions=trans)
+    nt = NativeTrie(N_TOK)
+    nt.insert([1, 2], 0, 0.0)
+    nt.insert([2, 3], 1, 0.0)
+    nt.smear("max")
+    nd = NativeBeamDecoder(opts, nt, None, 0, -1, -1, N_TOK, transitions=trans)
+    rp = pyd.decode(em)[0]
+    rn = nd.decode(em)[0]
+    assert abs(rp.score - rn.score) < 1e-3
+    assert [w for w in rp.words if w >= 0] == [w for w in rn.words if w >= 0]
+
+
+def test_online_api_and_prune():
+    em = rand_emissions(16, 11)
+    nd, _ = build_native()
+    full = nd.decode(em)[0]
+    nd2, _ = build_native()
+    nd2.decode_begin()
+    nd2.decode_step(em[:8])
+    nd2.decode_step(em[8:])
+    nd2.decode_end()
+    chunked = nd2.get_results(1, max_len=32)[0]
+    assert [w for w in full.words if w >= 0] == [w for w in chunked.words if w >= 0]
+    # prune keeps decoding functional
+    nd3, _ = build_native()
+    nd3.decode_begin()
+    nd3.decode_step(em[:8])
+    nd3.prune(0)
+    nd3.decode_step(em[8:])
+    nd3.decode_end()
+    assert len(nd3.get_results(1, max_len=32)) == 1
+
+
+def test_native_speed():
+    em = rand_emissions(200, 42)
+    opts = DecoderOptions(beam_size=100, beam_threshold=1000.0,
+                          criterion_type=CriterionType.CTC)
+    nd, _ = build_native(opts=opts)
+    t0 = time.perf_counter()
+    nd.decode(em)
+    dt = time.perf_counter() - t0
+    # 200 frames with beam 100 should be well under a second natively
+    assert dt < 1.0, f"native decode too slow: {dt}s"

@@ -35,8 +35,9 @@ from .meters import DatasetMeters
 from .test import Evaluator
 
 
-def build_decoder(cfg, token_dict, lexicon, transitions=None):
-    """Construct the decoder per flags (reference Decode.cpp:242-624)."""
+def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
+    """Construct the decoder per flags (reference Decode.cpp:242-624).
+    Prefers the native C++ core when it builds; falls back to Python."""
     opts = DecoderOptions.from_config(cfg)
     n_tokens = len(token_dict)
     sil = token_dict.get_index(cfg.wordseparator) if cfg.wordseparator in token_dict else 0
@@ -46,6 +47,15 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None):
     word_level_lm = cfg.decodertype == "wrd"
 
     word_dict = make_word_dict(lexicon) if lexicon else None
+
+    if use_native:
+        try:
+            return _build_native_decoder(
+                cfg, opts, token_dict, lexicon, word_dict, transitions,
+                sil, blank, n_tokens, use_lexicon, word_level_lm,
+            )
+        except Exception:
+            pass  # fall back to the Python implementation
 
     lm = ZeroLM()
     if cfg.lm:
@@ -90,6 +100,52 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None):
         )
         return dec, word_dict
     dec = LexiconFreeDecoder(opts, lm, sil, blank, transitions=transitions)
+    return dec, word_dict
+
+
+def _build_native_decoder(cfg, opts, token_dict, lexicon, word_dict,
+                          transitions, sil, blank, n_tokens, use_lexicon,
+                          word_level_lm):
+    from ..decoder.native import NativeBeamDecoder, NativeLM, NativeTrie
+
+    lm = None
+    if cfg.lm:
+        vocab = (
+            word_dict.entries() if (word_level_lm and word_dict)
+            else token_dict.entries()
+        )
+        lm = NativeLM(cfg.lm, usr_vocab=vocab)
+    trie = None
+    unk = -1
+    if use_lexicon:
+        trie = NativeTrie(n_tokens)
+        from ..decoder.lm import ArpaLM
+
+        # word start scores (python ArpaLM reused just for unigram scores)
+        score_lm = ArpaLM(cfg.lm, usr_vocab=word_dict.entries()) if (
+            cfg.lm and word_level_lm
+        ) else None
+        start = score_lm.start(False) if score_lm else None
+        for w, spellings in lexicon.entries.items():
+            widx = word_dict.get_index(w)
+            score = 0.0
+            if score_lm is not None:
+                _, score = score_lm.score(start, widx)
+            for sp in spellings:
+                toks = [token_dict.get_index(t) for t in sp if token_dict.contains(t)]
+                if cfg.criterion == "asg" and cfg.replabel > 0:
+                    from ..data.dictionary import pack_replabels
+
+                    toks = pack_replabels(toks, cfg.replabel, n_tokens - cfg.replabel)
+                if toks:
+                    trie.insert(toks, widx, score)
+        trie.smear(cfg.smearing)
+        unk = word_dict.get_index("<unk>") if word_dict else -1
+    trans = np.asarray(transitions, np.float32) if transitions is not None else None
+    dec = NativeBeamDecoder(
+        opts, trie, lm, sil, blank, unk, n_tokens,
+        transitions=trans, is_token_lm=not word_level_lm,
+    )
     return dec, word_dict
 
 
