@@ -1,0 +1,91 @@
+"""ConvLM — neural LM scoring for beam decoding.
+
+Reference: ``ConvLM`` (GCNN LM forwarded on GPU during decode, with
+``--lm_vocab`` token mapping and an ``--lm_memory`` state cache; one GPU per
+decoder thread — ``cpc/Decode.cpp:249-277,494-517``).
+
+TPU-native design: the LM is any arch-DSL model (e.g. the GCNN LM archs)
+trained next-token; decode-time scoring keeps an LRU cache of
+(history -> log-prob row) entries and evaluates cache misses in device
+batches — the beam loop naturally generates many hypotheses sharing
+prefixes, so hit rates are high (the role ``--lm_memory`` plays upstream).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lm import LM, LMState
+
+
+class ConvLM(LM):
+    def __init__(
+        self,
+        model,  # flax module: (B, L) int32 -> (B, L, V) logits
+        params,
+        vocab: Sequence[str],  # LM vocabulary (lm_vocab file order)
+        usr_vocab: Optional[Sequence[str]] = None,
+        context: int = 48,  # receptive field / history truncation
+        lm_memory: int = 10000,  # cache entries (reference --lm_memory)
+        eos: str = "</s>",
+        unk: str = "<unk>",
+    ):
+        self.model = model
+        self.params = params
+        self.vocab = {w: i for i, w in enumerate(vocab)}
+        self.eos_id = self.vocab.get(eos, 0)
+        self.unk_id = self.vocab.get(unk, 0)
+        self.context = context
+        self.usr_map = None
+        if usr_vocab is not None:
+            self.usr_map = [self.vocab.get(w, self.unk_id) for w in usr_vocab]
+        self.cache: "OrderedDict[Tuple[int, ...], np.ndarray]" = OrderedDict()
+        self.lm_memory = lm_memory
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, ids):  # (B, L) -> (B, V) last-position log-probs
+        logits, _ = self.model.apply(self.params, ids, None)
+        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+
+    def _logprobs(self, hist: Tuple[int, ...]) -> np.ndarray:
+        row = self.cache.get(hist)
+        if row is not None:
+            self.cache.move_to_end(hist)
+            return row
+        ids = jnp.asarray(np.asarray(hist, np.int32)[None])
+        row = np.asarray(self._fwd(ids))[0]
+        self.cache[hist] = row
+        if len(self.cache) > self.lm_memory:
+            self.cache.popitem(last=False)
+        return row
+
+    # -- LM API ------------------------------------------------------------
+    def start(self, start_with_nothing: bool = False) -> LMState:
+        return LMState((self.eos_id,))  # <s> == </s> in GCNN LM convention
+
+    def score(self, state: LMState, usr_token_idx: int) -> Tuple[LMState, float]:
+        w = (
+            self.usr_map[usr_token_idx]
+            if self.usr_map is not None
+            else usr_token_idx
+        )
+        row = self._logprobs(state.ngram)
+        s = float(row[w])
+        nh = (state.ngram + (w,))[-self.context :]
+        # convert natural log -> log10 to match KenLM score scale
+        return LMState(nh), s / np.log(10.0)
+
+    def finish(self, state: LMState) -> Tuple[LMState, float]:
+        row = self._logprobs(state.ngram)
+        return state, float(row[self.eos_id]) / np.log(10.0)
+
+
+def load_lm_vocab(path: str) -> List[str]:
+    """``--lm_vocab`` file: one token per line, index = line number."""
+    with open(path) as f:
+        return [l.strip().split()[0] for l in f if l.strip()]

@@ -259,8 +259,12 @@ class AsymmetricConv1D(nn.Module):
 
 
 class Embedding(nn.Module):
-    """AF Embedding: ids AF (T, 1, 1, B) -> AF (embsz, T, 1, B); stored:
-    (B, 1, 1, T) -> (B, 1, T, embsz)."""
+    """AF Embedding: consumes AF dim0 indices, inserts the embedding at the
+    new dim0 and shifts dims up (requires AF d3 == 1, i.e. stored leading
+    axis 1): AF (d0, d1, d2, 1) -> (emb, d0, d1, d2); stored
+    (1, d2, d1, d0) -> (d2, d1, d0, emb). Covers both the speech layout
+    (T, 1, 1, B? not used) and the LM layout (L, B, 1, 1)
+    (``lm_librispeech_word_gcnn_14B.arch`` header comments)."""
 
     emb_dim: int
     n_tokens: int
@@ -273,10 +277,13 @@ class Embedding(nn.Module):
             (self.n_tokens, self.emb_dim),
         )
         ids = x.astype(jnp.int32)
-        if ids.ndim == 4:  # stored (B, 1, 1, T)
-            ids = ids.reshape(ids.shape[0], ids.shape[-1])  # (B, T)
-        out = jnp.take(w.astype(jnp.float32), ids, axis=0)  # (B, T, emb)
-        return out[:, None]  # stored (B, 1, T, emb) == AF (emb, T, 1, B)
+        if ids.ndim == 4:
+            if ids.shape[0] != 1:
+                raise ValueError(
+                    f"Embedding needs AF d3 == 1, got stored shape {ids.shape}"
+                )
+            ids = ids[0]  # stored (d2, d1, d0)
+        return jnp.take(w.astype(jnp.float32), ids, axis=0)  # (..., d0, emb)
 
 
 # ---------------------------------------------------------------------------
