@@ -16,6 +16,11 @@ from wav2letter_tpu.config import Config
 
 def main():
     cfg = Config.from_sources(argv=sys.argv[1:])
+    if any(a.startswith("--lmweight_low") for a in sys.argv[1:]):
+        from wav2letter_tpu.runtime.decode import run_lmweight_sweep
+
+        run_lmweight_sweep(cfg)
+        return
     from wav2letter_tpu.runtime.decode import run_decode
 
     run_decode(cfg)

@@ -190,21 +190,35 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     sclite_rows: List[tuple] = []
 
     def producer():
+        emission_dir = cfg.get("emission_dir") or ""
         it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
         for batch in it:
-            em, elen = ev.emissions(batch)
-            em = np.asarray(em)
-            elen = np.asarray(elen)
-            for i in range(em.shape[0]):
+            # emission cache (reference --emission_dir, Decode.cpp:444-450):
+            # load pre-computed emissions when present, else forward + save
+            need_fwd = True
+            if emission_dir:
+                cached = []
+                for i in range(batch["audio"].shape[0]):
+                    sid = ds.samples[int(batch["sample_idx"][i])].sample_id
+                    p = os.path.join(emission_dir, f"{sid}.npz")
+                    cached.append(np.load(p)["emission"] if os.path.exists(p) else None)
+                need_fwd = any(c is None for c in cached)
+            if need_fwd:
+                em, elen = ev.emissions(batch)
+                em = np.asarray(em)
+                elen = np.asarray(elen)
+            for i in range(batch["audio"].shape[0]):
                 sidx = int(batch["sample_idx"][i])
+                sid = ds.samples[sidx].sample_id
                 tl = int(batch["target_len"][i])
-                emq.put(
-                    (
-                        ds.samples[sidx].sample_id,
-                        em[i, : int(elen[i])],
-                        [int(t) for t in batch["target"][i, :tl]],
-                    )
-                )
+                if not need_fwd:
+                    e = cached[i]
+                else:
+                    e = em[i, : int(elen[i])]
+                    if emission_dir:
+                        os.makedirs(emission_dir, exist_ok=True)
+                        np.savez(os.path.join(emission_dir, f"{sid}.npz"), emission=e)
+                emq.put((sid, e, [int(t) for t in batch["target"][i, :tl]]))
         for _ in range(max(1, ecfg.nthread_decoder)):
             emq.put(None)
 
@@ -256,3 +270,25 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     res = {"WER": meters.wrd_edit.error_rate(), "TER": meters.tkn_edit.error_rate()}
     print(f"[Decode {ecfg.test}] WER: {res['WER']:.2f}%")
     return res
+
+
+def run_lmweight_sweep(cfg: Config) -> Dict[float, float]:
+    """Shallow-fusion weight sweep (reference --lmweight_low/high/step,
+    ``recipes/slimIPL/README.md:27-29``): decode the dev set at each lmweight,
+    report WER per weight and the argmin. Uses an emission cache so the AM
+    forwards only once."""
+    import tempfile
+
+    sweep = {}
+    emission_dir = cfg.get("emission_dir") or tempfile.mkdtemp(prefix="w2l_em_")
+    w = cfg.lmweight_low
+    while w <= cfg.lmweight_high + 1e-9:
+        c = Config(**{})
+        c.update(cfg.asdict())
+        c.update({"lmweight": w, "emission_dir": emission_dir})
+        res = run_decode(c)
+        sweep[round(w, 4)] = res["WER"]
+        w += cfg.lmweight_step
+    best = min(sweep, key=sweep.get)
+    print(f"[Sweep] best lmweight={best} WER={sweep[best]:.2f}%")
+    return sweep

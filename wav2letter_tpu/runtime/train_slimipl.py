@@ -68,7 +68,8 @@ class SlimIPLTrainer(Trainer):
         self.cache: Dict[str, List[int]] = {}
         self.ema_params = None
         if self.fl["slimIPL_ema"]:
-            self.ema_params = jax.tree.map(lambda x: x, self.model_params)
+            # deep copy: the train step donates its param buffers
+            self.ema_params = jax.tree.map(jnp.copy, self.model_params)
         self._rng = random.Random(cfg.seed + 99)
         self._restore_cache()
 
