@@ -180,6 +180,17 @@ def _parse_one(tokens: List[str], line: str) -> LayerSpec:
             "E", lambda nm: L.Embedding(int(p[1]), int(p[2]), name=nm), line=line
         )
 
+    if op == "ADAPTIVEE":
+        embsz = int(p[1])
+        cutoffs = tuple(int(c) for c in p[2].split(","))
+        if list(cutoffs) != sorted(set(cutoffs)):
+            raise ValueError(f"cutoffs must be strictly ascending: {line}")
+        return LayerSpec(
+            "ADAPTIVEE",
+            lambda nm: L.AdaptiveEmbedding(embsz, cutoffs, name=nm),
+            line=line,
+        )
+
     if op == "BN":
         fsz = int(p[1])
         fdims = tuple(int(x) for x in p[2:])

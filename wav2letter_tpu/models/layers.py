@@ -286,6 +286,47 @@ class Embedding(nn.Module):
         return jnp.take(w.astype(jnp.float32), ids, axis=0)  # (..., d0, emb)
 
 
+class AdaptiveEmbedding(nn.Module):
+    """Adaptive input embeddings (arch ``ADAPTIVEE embsz c1,c2,...``;
+    reference ``SequentialBuilder.cpp:326-342``; Baevski & Auli 2018):
+    vocab clusters [0,c1), [c1,c2), ... get embeddings of dim
+    emb/4^i projected up to emb. Same AF layout contract as Embedding."""
+
+    emb_dim: int
+    cutoffs: Tuple[int, ...]  # ascending; last = vocab size
+
+    @nn.compact
+    def __call__(self, x: Array, mask=None) -> Array:
+        ids = x.astype(jnp.int32)
+        if ids.ndim == 4:
+            if ids.shape[0] != 1:
+                raise ValueError("AdaptiveEmbedding needs AF d3 == 1")
+            ids = ids[0]
+        out = jnp.zeros(ids.shape + (self.emb_dim,), jnp.float32)
+        lo = 0
+        for i, hi in enumerate(self.cutoffs):
+            dim = max(1, self.emb_dim // (4 ** i))
+            emb = self.param(
+                f"emb{i}",
+                lambda k, s: jax.random.normal(k, s, jnp.float32) * 0.02,
+                (hi - lo, dim),
+            )
+            in_cluster = (ids >= lo) & (ids < hi)
+            local = jnp.clip(ids - lo, 0, hi - lo - 1)
+            vec = jnp.take(emb, local, axis=0)
+            if dim != self.emb_dim:
+                proj = self.param(
+                    f"proj{i}",
+                    lambda k, s: jax.random.normal(k, s, jnp.float32)
+                    * (1.0 / math.sqrt(s[0])),
+                    (dim, self.emb_dim),
+                )
+                vec = vec @ proj
+            out = out + jnp.where(in_cluster[..., None], vec, 0.0)
+            lo = hi
+        return out
+
+
 # ---------------------------------------------------------------------------
 # normalization
 # ---------------------------------------------------------------------------

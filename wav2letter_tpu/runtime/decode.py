@@ -188,6 +188,7 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     lock = threading.Lock()
     emq: "queue.Queue" = queue.Queue(maxsize=ecfg.emission_queue_size)
     sclite_rows: List[tuple] = []
+    beam_dump: Dict[str, list] = {}
 
     def producer():
         emission_dir = cfg.get("emission_dir") or ""
@@ -229,8 +230,23 @@ def run_decode(cfg: Config) -> Dict[str, float]:
             if item is None:
                 return
             sid, em, ref_toks = item
-            res = dec.decode(em)[0]
+            n_best = 50 if ecfg.isbeamdump else 1
+            results = dec.decode(em, n_best)
+            res = results[0]
             hyp_w = result_to_words(res, word_dict, ev.token_dict, ecfg, ev.n_classes)
+            if ecfg.isbeamdump:
+                from ..tools.rescore import BeamHyp
+
+                dumped = [
+                    BeamHyp(
+                        sid,
+                        result_to_words(r, word_dict, ev.token_dict, ecfg, ev.n_classes),
+                        r.am_score, r.lm_score,
+                    )
+                    for r in results
+                ]
+                with lock:
+                    beam_dump[sid] = dumped
             if ecfg.criterion == "asg" and ecfg.replabel > 0:
                 ref_toks = unpack_replabels(
                     ref_toks, ecfg.replabel, ev.n_classes - ecfg.replabel
@@ -266,6 +282,10 @@ def run_decode(cfg: Config) -> Dict[str, float]:
             for sid, ref_w, hyp_w in sclite_rows:
                 fh.write(f"{' '.join(hyp_w)} ({sid})\n")
                 fr.write(f"{' '.join(ref_w)} ({sid})\n")
+        if ecfg.isbeamdump and beam_dump:
+            from ..tools.rescore import save_beam_dump
+
+            save_beam_dump(base + ".beams", beam_dump)
 
     res = {"WER": meters.wrd_edit.error_rate(), "TER": meters.tkn_edit.error_rate()}
     print(f"[Decode {ecfg.test}] WER: {res['WER']:.2f}%")

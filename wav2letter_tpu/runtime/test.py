@@ -59,8 +59,17 @@ class Evaluator:
 
         self.featurizer = Featurizer(FeatureParams.from_config(cfg))
         self.n_feat = cfg.num_features()
+        self.is_s2s = cfg.criterion in ("seq2seq", "transformer")
+        out_dim = (
+            cfg.encoderdim if self.is_s2s and cfg.encoderdim > 0 else self.n_classes
+        )
         arch_path = os.path.join(cfg.archdir, cfg.arch) if cfg.archdir else cfg.arch
-        self.model = build_arch_module(arch_path, self.n_feat, self.n_classes)
+        self.model = build_arch_module(arch_path, self.n_feat, out_dim)
+        self.s2s_criterion = None
+        if self.is_s2s:
+            from ..criterions import make_criterion
+
+            self.s2s_criterion = make_criterion(cfg, self.n_classes)
 
         from flax import serialization
 
@@ -91,12 +100,20 @@ class Evaluator:
         return self._fwd(jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]))
 
     def viterbi(self, em, elen):
+        """Returns (path, path_len)."""
+        if self.is_s2s:
+            toks, lens = self.s2s_criterion.apply(
+                {"params": self.crit_params}, em, elen, method="greedy_path"
+            )
+            return toks, lens
         if self.cfg.criterion == "asg":
-            return asg_viterbi(em, self.transitions, elen)
-        return ctc_viterbi(em, elen)
+            return asg_viterbi(em, self.transitions, elen), elen
+        return ctc_viterbi(em, elen), elen
 
     def collapse(self, path_row, length):
         toks = [int(t) for t in path_row[:length]]
+        if self.is_s2s:
+            return toks
         if self.cfg.criterion == "asg":
             base = self.n_classes - self.cfg.replabel
             return asg_collapse([toks], self.cfg.replabel, base)[0]
@@ -117,12 +134,13 @@ def run_test(cfg: Config) -> Dict[str, float]:
     it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
     for batch in it:
         em, elen = ev.emissions(batch)
-        vit = np.asarray(ev.viterbi(em, elen))
+        vit, vlen = ev.viterbi(em, elen)
+        vit, vlen = np.asarray(vit), np.asarray(vlen)
         em_np = np.asarray(em)
         elen_np = np.asarray(elen)
         for i in range(vit.shape[0]):
             sid = ds.samples[int(batch["sample_idx"][i])].sample_id
-            hyp_toks = ev.collapse(vit[i], int(elen_np[i]))
+            hyp_toks = ev.collapse(vit[i], int(vlen[i]))
             ref_toks = [int(t) for t in batch["target"][i, : int(batch["target_len"][i])]]
             if ecfg.criterion == "asg" and ecfg.replabel > 0:
                 from ..data.dictionary import unpack_replabels

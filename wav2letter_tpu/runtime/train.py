@@ -216,6 +216,12 @@ class Trainer:
             )
 
         self.meters = TrainMeters(list(self.valid_ds.keys()))
+        # AMP dynamic loss scale (mostly unnecessary with bf16; kept for
+        # --fl_amp_use_mixed_precision parity)
+        self.amp_scale = (
+            cfg.fl_amp_scale_factor if cfg.fl_amp_use_mixed_precision else 1.0
+        )
+        self._amp_good = 0
         self._step_cache: Dict[Tuple, Any] = {}
         self.best_val: Dict[str, float] = {}
         self.compute_dtype = (
@@ -256,11 +262,18 @@ class Trainer:
         cfg = self.cfg
 
         def step(model_params, crit_params, model_state, net_opt, crit_opt,
-                 batch, rng, lr, lr_crit, saug_on):
-            (loss, (em, elen)), grads = jax.value_and_grad(
-                self._loss_fn, argnums=(0, 1), has_aux=True
-            )(model_params, crit_params, model_state, batch, rng, saug_on, True)
-            g_net, g_crit = grads
+                 batch, rng, lr, lr_crit, saug_on, amp_scale):
+            def scaled_loss(mp, cp):
+                loss, aux = self._loss_fn(
+                    mp, cp, model_state, batch, rng, saug_on, True
+                )
+                return loss * amp_scale, (loss, aux)
+
+            (_, (loss, (em, elen))), grads = jax.value_and_grad(
+                scaled_loss, argnums=(0, 1), has_aux=True
+            )(model_params, crit_params)
+            inv = 1.0 / amp_scale
+            g_net, g_crit = jax.tree.map(lambda x: x * inv, grads)
             # global-norm clip across BOTH param groups (reference clipGradNorm
             # over network+criterion, Train.cpp:1341-1362)
             if cfg.maxgradnorm > 0:
@@ -295,7 +308,7 @@ class Trainer:
             step,
             in_shardings=(rep, rep, rep, rep, rep,
                           {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")},
-                          rep, rep, rep, rep),
+                          rep, rep, rep, rep, rep),
             donate_argnums=(0, 1, 3, 4),
         )
 
@@ -456,14 +469,25 @@ class Trainer:
                     self.model_params, self.crit_params, self.model_state,
                     self.net_opt_state, self.crit_opt_state, sb, k,
                     jnp.asarray(lr, jnp.float32), jnp.asarray(lr_crit, jnp.float32),
-                    saug_on,
+                    saug_on, jnp.asarray(self.amp_scale, jnp.float32),
                 )
                 self.updates += 1
                 lossv = float(loss)
                 if not bool(finite):
                     skipped += 1
+                    # AMP: halve scale on overflow (floor 1), reference
+                    # dynamic-scaling loop (Train.cpp:1216-1237)
+                    if cfg.fl_amp_use_mixed_precision:
+                        self.amp_scale = max(1.0, self.amp_scale / 2.0)
+                        self._amp_good = 0
                 else:
                     self.meters.train.loss.add(lossv, batch["audio"].shape[0])
+                    if cfg.fl_amp_use_mixed_precision:
+                        self._amp_good += 1
+                        if self._amp_good % cfg.fl_amp_scale_factor_update_interval == 0:
+                            self.amp_scale = min(
+                                self.amp_scale * 2.0, cfg.fl_amp_max_scale_factor
+                            )
                 audio_s = float(np.sum(batch["audio_len"])) / cfg.samplerate
                 self.meters.speed.add_audio(audio_s)
                 if np.random.rand() * 100.0 < cfg.pcttraineval:

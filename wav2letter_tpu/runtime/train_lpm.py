@@ -171,7 +171,7 @@ class LPMTrainer(Trainer):
                 self.model_params, self.crit_params, self.model_state,
                 self.net_opt_state, self.crit_opt_state, sb, k,
                 jnp.asarray(lr, jnp.float32), jnp.asarray(lrc, jnp.float32),
-                jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(1.0, jnp.float32),
             )
             self.updates += 1
             if self.updates % int(self.fl["propupdate"]) == 0:

@@ -190,7 +190,7 @@ class SlimIPLTrainer(Trainer):
                 self.model_params, self.crit_params, self.model_state,
                 self.net_opt_state, self.crit_opt_state, sb, k,
                 jnp.asarray(lr, jnp.float32), jnp.asarray(lr_crit, jnp.float32),
-                jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(1.0, jnp.float32),
             )
             self.updates += 1
             self._update_ema()

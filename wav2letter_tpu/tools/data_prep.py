@@ -232,6 +232,144 @@ def prepare_wsj_from_lists(
 
 
 # ---------------------------------------------------------------------------
+# AMI (XML word annotations -> segments; reference data/ami/* incl.
+# ami_split_segments.pl / ami_xml2text.sh)
+# ---------------------------------------------------------------------------
+def parse_ami_words_xml(path: str) -> List[Tuple[float, float, str]]:
+    """``<w starttime=.. endtime=..>word</w>`` entries -> (start, end, word)."""
+    import xml.etree.ElementTree as ET
+
+    out = []
+    root = ET.parse(path).getroot()
+    for w in root.iter():
+        if not w.tag.endswith("w"):
+            continue
+        st, en = w.get("starttime"), w.get("endtime")
+        if st is None or en is None or not (w.text or "").strip():
+            continue
+        out.append((float(st), float(en), w.text.strip().lower()))
+    return sorted(out)
+
+
+def ami_split_segments(
+    words: List[Tuple[float, float, str]],
+    max_gap_s: float = 0.5,
+    max_len_s: float = 30.0,
+) -> List[Tuple[float, float, List[str]]]:
+    """Group word timings into utterance segments at pauses (the reference's
+    perl segmenter's behavior: break on silence gaps / length cap)."""
+    segs = []
+    cur: List[Tuple[float, float, str]] = []
+    for w in words:
+        if cur and (
+            w[0] - cur[-1][1] > max_gap_s or w[1] - cur[0][0] > max_len_s
+        ):
+            segs.append((cur[0][0], cur[-1][1], [x[2] for x in cur]))
+            cur = []
+        cur.append(w)
+    if cur:
+        segs.append((cur[0][0], cur[-1][1], [x[2] for x in cur]))
+    return segs
+
+
+def prepare_ami_meeting(
+    words_xml: str, audio_path: str, meeting_id: str, out_dir: str,
+) -> List[ListSample]:
+    """Segment one AMI meeting: slices audio per segment into ``out_dir`` and
+    returns the list samples."""
+    import numpy as np
+
+    from ..data.audio import load_audio
+
+    words = parse_ami_words_xml(words_xml)
+    segs = ami_split_segments(words)
+    audio = load_audio(audio_path, expected_sr=0)
+    sr = 16000
+    os.makedirs(out_dir, exist_ok=True)
+    samples = []
+    for i, (st, en, ws) in enumerate(segs):
+        clip = audio[int(st * sr) : int(en * sr)]
+        if len(clip) == 0:
+            continue
+        p = os.path.join(out_dir, f"{meeting_id}_{i:04d}.npy")
+        np.save(p, clip.astype(np.float32))
+        samples.append(
+            ListSample(
+                f"ami-{meeting_id}-{i:04d}", os.path.abspath(p),
+                1000.0 * len(clip) / sr, " ".join(ws),
+            )
+        )
+    return samples
+
+
+# ---------------------------------------------------------------------------
+# Fisher / Switchboard (conversational; reference recipes/data/{fisher,
+# switchboard}/prepare.py + word maps)
+# ---------------------------------------------------------------------------
+_SWBD_MAP = {
+    "[laughter]": "", "[noise]": "", "[vocalized-noise]": "",
+    "[silence]": "", "uh-huh": "uh-huh", "um-hum": "um-hum",
+}
+
+
+def swbd_normalize_word(w: str) -> str:
+    """Switchboard word normalization (reference word maps): strip partial-
+    word markers, bracketed noises, and alternate-pronunciation suffixes."""
+    w = w.lower().strip()
+    if w in _SWBD_MAP:
+        return _SWBD_MAP[w]
+    # laughter-prefixed words: [laughter-word] -> word (before bracket rule)
+    m = re.match(r"^\[laughter-(.+)\]$", w)
+    if m:
+        w = m.group(1)
+    elif w.startswith("[") and w.endswith("]"):
+        return ""
+    if w.startswith("<") and w.endswith(">"):
+        return ""
+    # alternate pronunciation: word_1 -> word
+    w = re.sub(r"_\d+$", "", w)
+    # partial words: w[ord]- / -[wo]rd stay partial markers -> strip brackets
+    w = w.replace("[", "").replace("]", "")
+    w = w.replace("{", "").replace("}", "")
+    return w
+
+
+def parse_swbd_transcript(path: str) -> List[Tuple[str, float, float, str]]:
+    """``sw2001A-ms98-a-trans.text`` lines: ``utt_id start end text``."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split(None, 3)
+            if len(parts) < 4:
+                continue
+            uid, st, en, text = parts
+            words = [swbd_normalize_word(w) for w in text.split()]
+            words = [w for w in words if w]
+            if words:
+                out.append((uid, float(st), float(en), " ".join(words)))
+    return out
+
+
+def parse_fisher_transcript(path: str) -> List[Tuple[float, float, str, str]]:
+    """Fisher ``.txt``: ``start end channel: text`` lines (# comments)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            m = re.match(r"^([\d.]+)\s+([\d.]+)\s+([AB]):\s*(.*)$", line)
+            if not m:
+                continue
+            st, en, ch, text = m.groups()
+            words = [swbd_normalize_word(w) for w in text.split()]
+            words = [w for w in words if w]
+            if words:
+                out.append((float(st), float(en), ch, " ".join(words)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # token/lexicon generation (recipe-level prep)
 # ---------------------------------------------------------------------------
 def make_letter_tokens(out_path: str, extra: Sequence[str] = ("'",)) -> List[str]:
