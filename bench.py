@@ -69,9 +69,10 @@ def main():
         params = optax.apply_updates(params, upd)
         return params, opt_state, loss
 
-    # warmup/compile
+    # warmup/compile; float() forces a device fetch (block_until_ready can be
+    # a no-op through tunneled backends)
     params, opt_state, loss = step(params, opt_state, audio, audio_len, target, target_len)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
@@ -79,7 +80,7 @@ def main():
         params, opt_state, loss = step(
             params, opt_state, audio, audio_len, target, target_len
         )
-    jax.block_until_ready(loss)
+    float(loss)  # the steps chain data-dependently; this waits for all
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
