@@ -64,7 +64,12 @@ class Evaluator:
             cfg.encoderdim if self.is_s2s and cfg.encoderdim > 0 else self.n_classes
         )
         arch_path = os.path.join(cfg.archdir, cfg.arch) if cfg.archdir else cfg.arch
-        self.model = build_arch_module(arch_path, self.n_feat, out_dim)
+        if arch_path.endswith(".py") or ":" in arch_path:
+            from ..models.plugin import load_plugin_module
+
+            self.model = load_plugin_module(arch_path, self.n_feat, out_dim)
+        else:
+            self.model = build_arch_module(arch_path, self.n_feat, out_dim)
         self.s2s_criterion = None
         if self.is_s2s:
             from ..criterions import make_criterion
