@@ -36,7 +36,17 @@ def main():
     from __graft_entry__ import _build_model
 
     n_feat, n_label = 80, 9998
-    model = _build_model(n_feat, n_label)
+    which = os.environ.get("BENCH_MODEL", "tds")
+    if which == "transformer":
+        # the sota/2019 323M transformer-CTC arch (BASELINE configs[3])
+        from wav2letter_tpu.models.arch import build_arch_module
+
+        arch = "/root/reference/recipes/sota/2019/am_arch/am_transformer_ctc.arch"
+        model = build_arch_module(arch, n_feat, n_label)
+        metric = "train_throughput_transformer_ctc_323M"
+    else:
+        model = _build_model(n_feat, n_label)
+        metric = "train_throughput_tds_ctc_115M"
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
@@ -89,7 +99,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_throughput_tds_ctc_115M",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / A100_BASELINE_AUDIO_S_PER_S, 3),

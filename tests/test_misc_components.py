@@ -139,3 +139,24 @@ def test_s2s_test_executor(tmp_path):
                      nthread=1))
     res = run_test(tcfg)
     assert "WER" in res and np.isfinite(res["WER"])
+
+
+def test_wsj_full_prep(tmp_path):
+    import wave as wavmod
+
+    d = tmp_path / "wsj0" / "si_tr_s" / "01v"
+    d.mkdir(parents=True)
+    data = (np.zeros(1600)).astype(np.int16)
+    with wavmod.open(str(d / "01vc0207.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(data.tobytes())
+    (d / "01vc02.dot").write_text("HELLO [NOISE] WORLD (01vc0207)\n")
+    ndx = tmp_path / "tr.ndx"
+    ndx.write_text("; comment\n11_2_1:wsj0/si_tr_s/01v/01vc0207.wv1\n")
+    out = tmp_path / "wsj.lst"
+    n = data_prep.prepare_wsj_split(str(tmp_path), str(ndx), "train", str(out))
+    assert n == 1
+    from wav2letter_tpu.data import read_list_file
+
+    s = read_list_file(str(out))[0]
+    assert s.transcript == "hello world"

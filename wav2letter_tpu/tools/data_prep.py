@@ -216,6 +216,50 @@ def parse_wsj_dot_file(path: str) -> Dict[str, str]:
     return out
 
 
+def parse_wsj_ndx(path: str) -> List[str]:
+    """``.ndx`` index file: ``disk:path`` entries (``data/wsj/utils.py:73``);
+    returns corpus-relative audio paths, comments/``;``-lines skipped."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";"):
+                continue
+            # "11_2_1:wsj0/si_tr_s/01v/01vc0207.wv1" or plain path
+            rel = line.split(":", 1)[1] if ":" in line else line
+            rel = rel.strip().lstrip("/")
+            out.append(rel)
+    return out
+
+
+def prepare_wsj_split(
+    corpus_dir: str, ndx_path: str, split: str, out_lst: str,
+    audio_ext: str = ".wav",
+) -> int:
+    """Full WSJ prep: ndx index -> audio paths; transcripts from the ``.dot``
+    files next to the audio (one per speaker-session)."""
+    rels = parse_wsj_ndx(ndx_path)
+    transcripts: Dict[str, str] = {}
+    audio: Dict[str, str] = {}
+    dot_dirs = set()
+    for rel in rels:
+        base = os.path.splitext(rel)[0]
+        uid = os.path.basename(base)
+        apath = os.path.join(corpus_dir, base + audio_ext)
+        if not os.path.exists(apath):
+            for ext in (".wav", ".wv1", ".npy"):
+                if os.path.exists(os.path.join(corpus_dir, base + ext)):
+                    apath = os.path.join(corpus_dir, base + ext)
+                    break
+        if os.path.exists(apath):
+            audio[uid] = apath
+            dot_dirs.add(os.path.dirname(apath))
+    for d in dot_dirs:
+        for dot in glob.glob(os.path.join(d, "*.dot")):
+            transcripts.update(parse_wsj_dot_file(dot))
+    return prepare_wsj_from_lists(audio, transcripts, split, out_lst)
+
+
 def prepare_wsj_from_lists(
     audio_files: Dict[str, str], transcripts: Dict[str, str], split: str,
     out_lst: str,
