@@ -196,11 +196,24 @@ class Trainer:
 
         # --- mesh & placement ---
         self.mesh = make_mesh(MeshSpec.from_config(cfg))
-        self.model_params = replicate(self.mesh, self.model_params)
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.sharding import shard_params
+
+        tp = self.mesh.shape[MODEL_AXIS] > 1
+        # tensor-parallel: big 2-D params column-sharded over the model axis
+        # (GSPMD inserts the activation collectives); small params replicate
+        self.model_params = shard_params(self.mesh, self.model_params, tensor_parallel=tp)
         self.model_state = replicate(self.mesh, self.model_state)
         self.crit_params = replicate(self.mesh, self.crit_params)
-        self.net_opt_state = replicate(self.mesh, self.net_opt_state)
-        self.crit_opt_state = replicate(self.mesh, self.crit_opt_state)
+        if tp:
+            # optimizer slots must follow the param sharding; re-init from
+            # the sharded params (TP + continue-mode optimizer state resume
+            # would need resharding — currently unsupported together)
+            self.net_opt_state = self.net_tx.init(self.model_params)
+            self.crit_opt_state = self.crit_tx.init(self.crit_params)
+        else:
+            self.net_opt_state = replicate(self.mesh, self.net_opt_state)
+            self.crit_opt_state = replicate(self.mesh, self.crit_opt_state)
 
         # --- datasets ---
         self.train_ds = AsrDataset(
@@ -304,9 +317,11 @@ class Trainer:
 
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P(DATA_AXIS))
+        # param/opt shardings inferred from the input placement (replicated
+        # or tensor-parallel); batch pinned to the data axis
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, rep, rep,
+            in_shardings=(None, None, None, None, None,
                           {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")},
                           rep, rep, rep, rep, rep),
             donate_argnums=(0, 1, 3, 4),
@@ -342,7 +357,7 @@ class Trainer:
         dat = NamedSharding(self.mesh, P(DATA_AXIS))
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep,
+            in_shardings=(None, None, None,
                           {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")}),
         )
 
