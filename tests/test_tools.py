@@ -202,3 +202,42 @@ def test_sfx_chain(tmp_path):
     assert out.shape == audio.shape
     assert np.abs(out).max() <= 1.0
     assert not np.allclose(out, audio)  # actually augmented
+
+
+def test_corpus_tools(tmp_path):
+    from wav2letter_tpu.tools import corpus
+
+    assert corpus.normalize_lm_text("Hello, World! it's ME.") == "hello world it's me"
+    assert corpus.title_match("The Adventures of Tom Sawyer", "adventures of tom sawyer!")
+    assert not corpus.title_match("Moby Dick", "Pride and Prejudice")
+    keep = corpus.dedup_corpus_titles(
+        ["Moby Dick", "Some Other Book"], ["moby dick"]
+    )
+    assert keep == [1]
+    a = tmp_path / "a.txt"
+    a.write_text("Hello World.\nFoo, bar!\n")
+    out = tmp_path / "corpus.txt"
+    n = corpus.write_lm_corpus([str(a)], str(out))
+    assert n == 2
+    vocab = corpus.build_vocab(open(out))
+    assert "hello" in vocab
+
+
+def test_remat_flag(tmp_path):
+    from tests.util_synth import make_dataset
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train import Trainer
+
+    lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=8, seed=81)
+    arch = tmp_path / "a.arch"
+    arch.write_text("V -1 1 NFEAT 0\nC NFEAT 32 8 4 4\nRO 2 0 3 1\nL 32 NLABEL\n")
+    cfg = Config()
+    cfg.update(
+        dict(train=lst, tokens=tokens, lexicon=lexicon, rundir=str(tmp_path),
+             runname="rm", batchsize=8, mfsc=True, filterbanks=40,
+             criterion="ctc", lr=0.1, iter=3, nthread=1, pad_multiple=64,
+             arch=str(arch), compute_dtype="float32", remat=True)
+    )
+    tr = Trainer(cfg)
+    tr.run()
+    assert tr.updates == 3

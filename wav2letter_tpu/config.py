@@ -177,6 +177,7 @@ _DEFS: List[FlagDef] = [
     _f("fl_amp_max_scale_factor", float, 65536.0),
     _f("fl_optim_mode", str, "", "O1 etc; on TPU maps to bf16 compute"),
     _f("compute_dtype", str, "bfloat16", "TPU compute dtype: bfloat16|float32"),
+    _f("remat", bool, False, "rematerialize the model forward in backward (saves HBM)"),
     # --- distributed ---
     _f("enable_distributed", bool, False),
     _f("world_rank", int, 0),

@@ -251,13 +251,19 @@ class Trainer:
             feats = jnp.where(saug_on, self.specaug(feats, k, flen), feats)
         feats = feats.astype(self.compute_dtype)
         rngs = {"dropout": rng, "specaug": jax.random.fold_in(rng, 1)}
-        em, elen = self.model.apply(
-            {"params": model_params, **model_state},
-            feats,
-            flen,
-            train=train,
-            rngs=rngs if train else None,
-        )
+
+        def fwd(model_params, feats):
+            return self.model.apply(
+                {"params": model_params, **model_state},
+                feats,
+                flen,
+                train=train,
+                rngs=rngs if train else None,
+            )
+
+        if self.cfg.remat and train:
+            fwd = jax.checkpoint(fwd)
+        em, elen = fwd(model_params, feats)
         em = em.astype(jnp.float32)
         losses = self.criterion.apply(
             {"params": crit_params},
