@@ -230,6 +230,8 @@ def run_decode(cfg: Config) -> Dict[str, float]:
             if item is None:
                 return
             sid, em, ref_toks = item
+            if ecfg.smoothingtemperature != 1.0 and ecfg.smoothingtemperature > 0:
+                em = em / ecfg.smoothingtemperature
             n_best = 50 if ecfg.isbeamdump else 1
             results = dec.decode(em, n_best)
             res = results[0]
@@ -262,6 +264,11 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                 if ecfg.show:
                     print(f"|T|: {' '.join(ref_w)}")
                     print(f"|P|: {' '.join(hyp_w)}")
+                if ecfg.showletters:
+                    toks = ev.token_dict.map_indices(
+                        [t for t in res.tokens if 0 <= t < ev.n_classes]
+                    )
+                    print(f"|t|: {' '.join(toks)}")
 
     pt = threading.Thread(target=producer, daemon=True)
     pt.start()
