@@ -50,7 +50,7 @@ def main():
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     secs = float(os.environ.get("BENCH_SECS", "15"))
     S = int(16000 * secs)
     U = 160
