@@ -152,3 +152,33 @@ def test_continue_mode(trained):
     assert tr2.updates == tr.updates  # resumed counters
     tr2.run()
     assert tr2.updates == tr.updates + 4
+
+
+def test_fork_mode(trained):
+    root, lst, tokens, lexicon, arch, tr = trained
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train import Trainer
+
+    cfg = Config()
+    cfg.update(
+        dict(
+            rundir=str(root), runname="forked", iter=3,
+            train=lst, tokens=tokens, lexicon=lexicon,
+            batchsize=8, mfsc=True, filterbanks=40, arch=arch,
+            nthread=1, pad_multiple=64, compute_dtype="float32",
+        )
+    )
+    ckpt_path = os.path.join(tr.rundir, "model_last.bin")
+    tr2 = Trainer(cfg, mode="fork", init_model_path=ckpt_path)
+    # fork: weights loaded from the checkpoint, counters fresh
+    assert tr2.updates == 0 and tr2.epoch == 0
+    import jax
+    import numpy as np
+    from wav2letter_tpu.runtime.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(ckpt_path)
+    a = jax.tree_util.tree_leaves(ck.model_params)[0]
+    b = jax.tree_util.tree_leaves(tr2.model_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    tr2.run()
+    assert tr2.updates == 3
