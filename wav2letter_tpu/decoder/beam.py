@@ -83,6 +83,20 @@ class DecodeResult:
     words: List[int]  # word indices per frame (-1 = none)
     tokens: List[int]  # token index per frame
 
+    def word_frames(self) -> List[Tuple[int, int, int]]:
+        """(word_idx, begin_frame, end_frame) per emitted word — frame times
+        as in the reference's words-with-timestamps output
+        (inference/decoder/Decoder.cpp:113-164). end_frame is the frame the
+        word completed (its label emission); begin_frame the first frame
+        after the previous word/silence."""
+        out = []
+        begin = 0
+        for t, w in enumerate(self.words):
+            if w >= 0:
+                out.append((w, begin, t))
+                begin = t + 1
+        return out
+
 
 class _Hyp:
     __slots__ = (

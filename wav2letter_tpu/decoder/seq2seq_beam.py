@@ -125,8 +125,14 @@ class Seq2SeqDecoderBase:
             new_peaks_np = np.asarray(new_peaks)
             cands: List[_S2SHyp] = []
             n_tok = min(opts.beam_size_token, logp.shape[1])
+            import math as _math
+
             for bi, hyp in enumerate(beam):
-                # attention-peak monotonicity pruning (attentionThreshold)
+                # attention-peak monotonicity pruning (--attentionthreshold):
+                # drop extensions whose attention jumped implausibly far
+                if _math.isfinite(self.attention_threshold):
+                    if abs(int(new_peaks_np[bi]) - hyp.peak) > self.attention_threshold:
+                        continue
                 row = logp[bi]
                 top = np.argpartition(-row, n_tok - 1)[:n_tok]
                 for tok in top:

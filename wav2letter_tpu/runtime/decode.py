@@ -293,6 +293,13 @@ def run_decode(cfg: Config) -> Dict[str, float]:
             from ..tools.rescore import save_beam_dump
 
             save_beam_dump(base + ".beams", beam_dump)
+        with open(base + ".log", "w") as fl:
+            fl.write(
+                f"samples: {len(sclite_rows)}\n"
+                f"WER: {meters.wrd_edit.error_rate():.2f}%\n"
+                f"TER: {meters.tkn_edit.error_rate():.2f}%\n"
+                f"word errors: {meters.wrd_edit.errors}/{meters.wrd_edit.total}\n"
+            )
 
     res = {"WER": meters.wrd_edit.error_rate(), "TER": meters.tkn_edit.error_rate()}
     print(f"[Decode {ecfg.test}] WER: {res['WER']:.2f}%")
