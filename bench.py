@@ -14,6 +14,7 @@ paper reports scaled to A100). The driver's north star is >= 3x that.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
 import sys
@@ -65,7 +66,7 @@ def main():
     )
     target_len = jnp.full((B,), U, jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, audio, audio_len, target, target_len):
         def loss_fn(p):
             feats, flen = featurizer(audio, audio_len)
