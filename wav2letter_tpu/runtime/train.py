@@ -468,6 +468,7 @@ class Trainer:
         report = cfg.reportiters
         self.meters.runtime.start()
         skipped = 0
+        self._pending = []
 
         while self.updates < cfg.iter:
             self.epoch += 1
@@ -493,22 +494,25 @@ class Trainer:
                     saug_on, jnp.asarray(self.amp_scale, jnp.float32),
                 )
                 self.updates += 1
-                lossv = float(loss)
-                if not bool(finite):
-                    skipped += 1
-                    # AMP: halve scale on overflow (floor 1), reference
-                    # dynamic-scaling loop (Train.cpp:1216-1237)
-                    if cfg.fl_amp_use_mixed_precision:
+                if cfg.fl_amp_use_mixed_precision:
+                    # AMP needs the overflow flag synchronously (halve scale
+                    # + skip, reference retry loop Train.cpp:1216-1237)
+                    if not bool(finite):
+                        skipped += 1
                         self.amp_scale = max(1.0, self.amp_scale / 2.0)
                         self._amp_good = 0
-                else:
-                    self.meters.train.loss.add(lossv, batch["audio"].shape[0])
-                    if cfg.fl_amp_use_mixed_precision:
+                    else:
+                        self.meters.train.loss.add(float(loss), batch["audio"].shape[0])
                         self._amp_good += 1
                         if self._amp_good % cfg.fl_amp_scale_factor_update_interval == 0:
                             self.amp_scale = min(
                                 self.amp_scale * 2.0, cfg.fl_amp_max_scale_factor
                             )
+                else:
+                    # async pipelining: keep loss/finite as device values and
+                    # fetch at report boundaries so the host never stalls the
+                    # device between steps
+                    self._pending.append((loss, finite, batch["audio"].shape[0]))
                 audio_s = float(np.sum(batch["audio_len"])) / cfg.samplerate
                 self.meters.speed.add_audio(audio_s)
                 if np.random.rand() * 100.0 < cfg.pcttraineval:
@@ -519,10 +523,21 @@ class Trainer:
                     self._report_and_save()
             if report <= 0:
                 self._report_and_save()
+        self._flush_pending()
         self.save()
+        skipped += getattr(self, "_skipped", 0)
         _log(f"training done: {self.updates} updates, {skipped} skipped batches")
 
+    def _flush_pending(self):
+        for loss, finite, n in getattr(self, "_pending", []):
+            if bool(finite):
+                self.meters.train.loss.add(float(loss), n)
+            else:
+                self._skipped = getattr(self, "_skipped", 0) + 1
+        self._pending = []
+
     def _report_and_save(self):
+        self._flush_pending()
         wers = self.validate()
         sync_meters(self.meters)
         line = get_log_string(
