@@ -139,6 +139,19 @@ def test_s2s_test_executor(tmp_path):
                      nthread=1))
     res = run_test(tcfg)
     assert "WER" in res and np.isfinite(res["WER"])
+    # offline s2s beam decode (LexiconSeq2SeqDecoder path)
+    from wav2letter_tpu.runtime.decode import run_decode
+
+    dcfg = Config()
+    dcfg.update(dict(am=os.path.join(tr.rundir, "model_last.bin"), test=lst,
+                     nthread=1, nthread_decoder=1, beamsize=4,
+                     beamthreshold=50.0, uselexicon=True))
+    dres = run_decode(dcfg)
+    assert np.isfinite(dres["WER"])
+    # lexicon-free s2s beam
+    dcfg.update(dict(uselexicon=False))
+    dres2 = run_decode(dcfg)
+    assert np.isfinite(dres2["WER"])
 
 
 def test_wsj_full_prep(tmp_path):

@@ -223,13 +223,124 @@ def run_decode(cfg: Config) -> Dict[str, float]:
         for _ in range(max(1, ecfg.nthread_decoder)):
             emq.put(None)
 
+    is_s2s = ecfg.criterion in ("seq2seq", "transformer")
+
     def consumer():
-        dec, word_dict = build_decoder(ecfg, ev.token_dict, ev.lexicon, trans)
+        if not is_s2s:
+            dec, word_dict = build_decoder(ecfg, ev.token_dict, ev.lexicon, trans)
+        else:
+            # decoder-in-the-loop beam (reference LexiconSeq2SeqDecoder /
+            # LexiconFreeSeq2SeqDecoder, Decode.cpp:529-624): built per
+            # utterance around the batched attention-decoder step
+            from ..data.dictionary import make_word_dict as _mwd
+            from ..decoder import DecoderOptions as _DO, SmearingMode, Trie, ZeroLM
+            from ..decoder.lm import ArpaLM
+
+            word_dict = _mwd(ev.lexicon) if ev.lexicon else None
+            s2s_opts = _DO.from_config(ecfg)
+            s2s_lm = (
+                ArpaLM(ecfg.lm, usr_vocab=(
+                    word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
+                    else ev.token_dict.entries()))
+                if ecfg.lm else ZeroLM()
+            )
+            s2s_trie = None
+            if ecfg.uselexicon and ev.lexicon:
+                s2s_trie = Trie(ev.n_classes)
+                for w, sps in ev.lexicon.entries.items():
+                    widx = word_dict.get_index(w)
+                    for sp in sps:
+                        ids = [ev.token_dict.get_index(t) for t in sp
+                               if ev.token_dict.contains(t)]
+                        if ids:
+                            s2s_trie.insert(ids, widx, 0.0)
+                s2s_trie.smear(SmearingMode.NONE)
         while True:
             item = emq.get()
             if item is None:
                 return
             sid, em, ref_toks = item
+            if is_s2s:
+                from ..decoder.seq2seq_beam import (
+                    LexiconFreeSeq2SeqDecoder,
+                    LexiconSeq2SeqDecoder,
+                    make_s2s_update_fn,
+                )
+
+                if ecfg.criterion == "transformer":
+                    # transformer criterion: greedy decode (incremental beam
+                    # step function lands with KV caching — TODO.md)
+                    import jax.numpy as jnp
+
+                    toks, lens = ev.s2s_criterion.apply(
+                        {"params": ev.crit_params}, jnp.asarray(em)[None],
+                        jnp.asarray([em.shape[0]]), method="greedy_path",
+                    )
+                    toks = np.asarray(toks)[0][: int(np.asarray(lens)[0])]
+
+                    class _R:
+                        words = [-1]
+                        tokens = [int(t) for t in toks]
+                        score = am_score = lm_score = 0.0
+
+                    results = [_R()]
+                    res = results[0]
+                    emitted = []
+                    hyp_w = tokens_to_words(
+                        ev.token_dict.map_indices(
+                            [t for t in res.tokens if 0 <= t < ev.n_classes - 2]
+                        ),
+                        ecfg.wordseparator, ecfg.usewordpiece,
+                    )
+                    ref_w = tokens_to_words(
+                        ev.token_dict.map_indices(ref_toks), ecfg.wordseparator,
+                        ecfg.usewordpiece,
+                    )
+                    with lock:
+                        meters.wrd_edit.add(ref_w, hyp_w)
+                        meters.tkn_edit.add(ref_toks, res.tokens)
+                        sclite_rows.append((sid, ref_w, hyp_w))
+                    continue
+
+                fn, init = make_s2s_update_fn(
+                    ev.s2s_criterion, ev.crit_params, em, em.shape[0]
+                )
+                eos = ev.n_classes - 2
+                if s2s_trie is not None:
+                    dec = LexiconSeq2SeqDecoder(
+                        s2s_opts, s2s_trie, s2s_lm, eos, fn, init,
+                        max_output_len=ecfg.maxdecoderoutputlen,
+                    )
+                else:
+                    dec = LexiconFreeSeq2SeqDecoder(
+                        s2s_opts, eos, fn, init, s2s_lm,
+                        max_output_len=ecfg.maxdecoderoutputlen,
+                    )
+                results = dec.decode(n_best=50 if ecfg.isbeamdump else 1)
+                res = results[0]
+                emitted = [w for w in res.words if w >= 0]
+                if word_dict and emitted:
+                    hyp_w = [word_dict.get_entry(w) for w in emitted]
+                else:
+                    # s2s tokens are final symbols: no CTC dedup/blank rules
+                    hyp_w = tokens_to_words(
+                        ev.token_dict.map_indices(
+                            [t for t in res.tokens if 0 <= t < ev.n_classes - 2]
+                        ),
+                        ecfg.wordseparator, ecfg.usewordpiece,
+                    )
+                ref_w = tokens_to_words(
+                    ev.token_dict.map_indices(ref_toks), ecfg.wordseparator,
+                    ecfg.usewordpiece,
+                )
+                with lock:
+                    meters.wrd_edit.add(ref_w, hyp_w)
+                    meters.tkn_edit.add(ref_toks, [t for t in res.tokens if t >= 0])
+                    sclite_rows.append((sid, ref_w, hyp_w))
+                    if ecfg.show:
+                        print(f"|T|: {' '.join(ref_w)}")
+                        print(f"|P|: {' '.join(hyp_w)}")
+                continue
             if ecfg.smoothingtemperature != 1.0 and ecfg.smoothingtemperature > 0:
                 em = em / ecfg.smoothingtemperature
             n_best = 50 if ecfg.isbeamdump else 1
