@@ -86,3 +86,91 @@ def test_lexicon_s2s_beam(overfit):
     res = dec.decode()[0]
     assert res.tokens == [0, 1, 2]
     assert [w for w in res.words if w >= 0] == [0]
+
+
+def test_transformer_incremental_matches_full():
+    """KV-cached decode_step logits must equal the teacher-forced pass."""
+    import jax.numpy as jnp
+    from wav2letter_tpu.criterions.seq2seq import (
+        S2SConfig, TransformerS2SCriterion,
+    )
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+
+    crit = TransformerS2SCriterion(
+        S2SConfig(n_classes=N, eos_idx=EOS, pad_idx=PAD, hidden=32,
+                  max_decoder_output_len=8),
+        CriterionScaleMode.NONE, n_tr_layers=2,
+    )
+    rng = np.random.RandomState(3)
+    B, T, H = 2, 5, 32
+    em = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    elen = jnp.asarray([5, 4], jnp.int32)
+    toks = jnp.asarray(rng.randint(0, EOS, (B, 5)), jnp.int32)
+    tlen = jnp.asarray([5, 5], jnp.int32)
+    params = crit.init(jax.random.PRNGKey(0), em, toks, elen, tlen)
+    enc_mask = jnp.arange(T)[None, :] < elen[:, None]
+    dec_in = jnp.concatenate(
+        [jnp.full((B, 1), EOS, jnp.int32), toks], axis=1
+    )
+    full = crit.apply(params, dec_in, em, enc_mask, method="_decode_all")
+    state = crit.apply(params, B, method="init_state")
+    for u in range(dec_in.shape[1]):
+        state, logits = crit.apply(
+            params, state, dec_in[:, u], em, enc_mask, u, method="decode_step"
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, u]), rtol=1e-4, atol=1e-4,
+            err_msg=f"position {u}",
+        )
+
+
+def test_transformer_beam_decodes():
+    """Overfit the transformer criterion, then beam-decode with the
+    KV-cached step and recover the targets."""
+    import jax.numpy as jnp
+    import optax
+    from wav2letter_tpu.criterions.seq2seq import (
+        S2SConfig, TransformerS2SCriterion,
+    )
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+
+    crit = TransformerS2SCriterion(
+        S2SConfig(n_classes=N, eos_idx=EOS, pad_idx=PAD, hidden=32,
+                  max_decoder_output_len=8),
+        CriterionScaleMode.NONE, n_tr_layers=1,
+    )
+    rng = np.random.RandomState(0)
+    B, T, H = 4, 6, 32
+    targets = np.array(
+        [[0, 1, 2, -1], [3, 4, -1, -1], [2, 2, 1, 0], [5, -1, -1, -1]], np.int32
+    )
+    tlen = np.asarray([3, 2, 4, 1], np.int32)
+    em = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    elen = jnp.asarray([6, 4, 6, 3], jnp.int32)
+    params = crit.init(jax.random.PRNGKey(1), em, jnp.asarray(targets),
+                       elen, jnp.asarray(tlen))
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def lf(pp):
+            return crit.apply(pp, em, jnp.asarray(targets), elen,
+                              jnp.asarray(tlen)).mean()
+        l, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for _ in range(300):
+        params, opt, l = step(params, opt)
+    for b in range(B):
+        fn, init = make_s2s_update_fn(crit, params["params"], np.asarray(em[b]),
+                                      int(elen[b]))
+        dec = LexiconFreeSeq2SeqDecoder(
+            DecoderOptions(beam_size=4, beam_threshold=50.0,
+                           criterion_type=CriterionType.S2S),
+            EOS, fn, init, max_output_len=8,
+        )
+        res = dec.decode()[0]
+        want = [int(t) for t in targets[b][: tlen[b]]]
+        assert res.tokens == want, f"b={b}: {res.tokens} != {want}"

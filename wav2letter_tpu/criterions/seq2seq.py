@@ -281,35 +281,98 @@ class TransformerS2SCriterion(nn.Module):
 
     def setup(self):
         c = self.cfg
+        L = self.n_tr_layers
         self.embedding = nn.Embed(c.n_classes, c.hidden)
         self.out = nn.Dense(c.n_classes)
-        self.self_attn = [
-            nn.MultiHeadDotProductAttention(self.n_heads, qkv_features=c.hidden, name=f"self{i}")
-            for i in range(self.n_tr_layers)
-        ]
-        self.cross_attn = [
-            nn.MultiHeadDotProductAttention(self.n_heads, qkv_features=c.hidden, name=f"cross{i}")
-            for i in range(self.n_tr_layers)
-        ]
-        self.ln1 = [nn.LayerNorm(name=f"ln1_{i}") for i in range(self.n_tr_layers)]
-        self.ln2 = [nn.LayerNorm(name=f"ln2_{i}") for i in range(self.n_tr_layers)]
-        self.ln3 = [nn.LayerNorm(name=f"ln3_{i}") for i in range(self.n_tr_layers)]
-        self.ff1 = [nn.Dense(4 * c.hidden, name=f"ff1_{i}") for i in range(self.n_tr_layers)]
-        self.ff2 = [nn.Dense(c.hidden, name=f"ff2_{i}") for i in range(self.n_tr_layers)]
+        # explicit projections so decoding can KV-cache incrementally
+        zeros = nn.initializers.zeros
+        self.sq = [nn.Dense(c.hidden, name=f"sq{i}") for i in range(L)]
+        self.sk = [nn.Dense(c.hidden, name=f"sk{i}") for i in range(L)]
+        self.sv = [nn.Dense(c.hidden, name=f"sv{i}") for i in range(L)]
+        # residual-branch output projections zero-init: the decoder starts
+        # as out(emb + pos) — near-uniform predictions, stable deep init
+        self.so = [nn.Dense(c.hidden, kernel_init=zeros, name=f"so{i}") for i in range(L)]
+        self.cq = [nn.Dense(c.hidden, name=f"cq{i}") for i in range(L)]
+        self.ck = [nn.Dense(c.hidden, name=f"ck{i}") for i in range(L)]
+        self.cv = [nn.Dense(c.hidden, name=f"cv{i}") for i in range(L)]
+        self.co = [nn.Dense(c.hidden, kernel_init=zeros, name=f"co{i}") for i in range(L)]
+        self.ln1 = [nn.LayerNorm(name=f"ln1_{i}") for i in range(L)]
+        self.ln2 = [nn.LayerNorm(name=f"ln2_{i}") for i in range(L)]
+        self.ln3 = [nn.LayerNorm(name=f"ln3_{i}") for i in range(L)]
+        self.ff1 = [nn.Dense(4 * c.hidden, name=f"ff1_{i}") for i in range(L)]
+        self.ff2 = [nn.Dense(c.hidden, kernel_init=zeros, name=f"ff2_{i}") for i in range(L)]
+
+    def _heads(self, a):
+        B, L, D = a.shape
+        H = self.n_heads
+        return a.reshape(B, L, H, D // H).transpose(0, 2, 1, 3)  # (B,H,L,dh)
+
+    def _attend(self, q, k, v, mask, o_proj):
+        # q (B,Lq,D), k/v (B,Lk,D), mask broadcastable to (B,1,Lq,Lk)
+        dh = q.shape[-1] // self.n_heads
+        qh, kh, vh = self._heads(q), self._heads(k), self._heads(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / math.sqrt(dh)
+        s = jnp.where(mask, s, -1e30)
+        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, vh)
+        B, H, Lq, _ = o.shape
+        return o_proj(o.transpose(0, 2, 1, 3).reshape(B, Lq, H * dh))
 
     def _decode_all(self, dec_in, enc, enc_mask):
         c = self.cfg
         U1 = dec_in.shape[1]
         x = self.embedding(dec_in) + _sinusoid(U1, c.hidden, enc.dtype)[None]
-        causal = jnp.tril(jnp.ones((U1, U1), bool))
+        causal = jnp.tril(jnp.ones((U1, U1), bool))[None, None]
+        cmask = enc_mask[:, None, None, :]
         for i in range(self.n_tr_layers):
             h = self.ln1[i](x)
-            x = x + self.self_attn[i](h, h, mask=causal[None, None])
+            x = x + self._attend(self.sq[i](h), self.sk[i](h), self.sv[i](h),
+                                 causal, self.so[i])
             h = self.ln2[i](x)
-            x = x + self.cross_attn[i](h, enc, mask=enc_mask[:, None, None, :])
+            x = x + self._attend(self.cq[i](h), self.ck[i](enc), self.cv[i](enc),
+                                 cmask, self.co[i])
             h = self.ln3[i](x)
             x = x + self.ff2[i](jax.nn.gelu(self.ff1[i](h)))
         return self.out(x)
+
+    # -- incremental decoding (KV cache) -----------------------------------
+    def init_state(self, batch: int, dtype=jnp.float32):
+        c = self.cfg
+        Lmax = c.max_decoder_output_len + 1
+        L = self.n_tr_layers
+        # hypothesis axis leads every leaf so beam search can gather rows
+        return {
+            "k": jnp.zeros((batch, L, Lmax, c.hidden), dtype),
+            "v": jnp.zeros((batch, L, Lmax, c.hidden), dtype),
+            "pos": jnp.zeros((batch,), jnp.int32),
+        }
+
+    def decode_step(self, state, tok, enc, enc_mask, step_idx, windowed=False):
+        """One token step with self-attention KV cache; cross-attention K/V
+        recomputed from enc (cheap at ASR encoder lengths). Same signature
+        contract as Seq2SeqCriterion.decode_step (beam-generic)."""
+        c = self.cfg
+        B = tok.shape[0]
+        pos = state["pos"][0]  # beams advance in lockstep
+        Lmax = state["k"].shape[2]
+        x = self.embedding(tok)[:, None]  # (B,1,D)
+        x = x + _sinusoid(Lmax, c.hidden, x.dtype)[pos][None, None]
+        kc, vc = state["k"], state["v"]
+        valid = (jnp.arange(Lmax)[None, :] <= pos)[:, None, None, :]  # (1,1,1,Lmax)
+        cmask = enc_mask[:, None, None, :]
+        for i in range(self.n_tr_layers):
+            h = self.ln1[i](x)
+            kc = kc.at[:, i, pos].set(self.sk[i](h)[:, 0])
+            vc = vc.at[:, i, pos].set(self.sv[i](h)[:, 0])
+            x = x + self._attend(self.sq[i](h), kc[:, i], vc[:, i], valid, self.so[i])
+            h = self.ln2[i](x)
+            x = x + self._attend(self.cq[i](h), self.ck[i](enc), self.cv[i](enc),
+                                 cmask, self.co[i])
+            h = self.ln3[i](x)
+            x = x + self.ff2[i](jax.nn.gelu(self.ff1[i](h)))
+        logits = self.out(x[:, 0])
+        new_state = {"k": kc, "v": vc, "pos": state["pos"] + 1}
+        return new_state, logits
 
     def __call__(self, emissions, targets, emis_len, target_len, train: bool = False):
         c = self.cfg
@@ -323,25 +386,30 @@ class TransformerS2SCriterion(nn.Module):
         return Seq2SeqCriterion._nll(self, logits, tgt_in, target_len, emis_len)
 
     def greedy_path(self, emissions, emis_len):
-        """Greedy decode by incremental re-run (O(L^2) but simple/correct;
-        beam decoding uses the cached variant in seq2seq_beam)."""
+        """Greedy decode via the incremental KV-cached step (O(L))."""
         c = self.cfg
         B, T, _ = emissions.shape
         enc_mask = jnp.arange(T)[None, :] < emis_len[:, None]
         L = c.max_decoder_output_len
-        toks = jnp.full((B, L + 1), c.eos_idx, jnp.int32)
-        done = jnp.zeros((B,), bool)
+        if self.is_initializing():
+            st = self.init_state(B, emissions.dtype)
+            self.decode_step(st, jnp.full((B,), c.eos_idx, jnp.int32),
+                             emissions, enc_mask, 0)
 
         def body(carry, u):
-            toks, done = carry
-            logits = self._decode_all(toks, emissions, enc_mask)  # (B, L+1, N)
-            nxt = jnp.argmax(logits[:, u], axis=-1).astype(jnp.int32)
+            state, prev_tok, done = carry
+            state, logits = self.decode_step(state, prev_tok, emissions, enc_mask, u)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, c.pad_idx, nxt)
             done = done | (nxt == c.eos_idx)
-            toks = toks.at[:, u + 1].set(nxt)
-            return (toks, done), nxt
+            return (state, nxt, done), nxt
 
-        (toks, _), outs = jax.lax.scan(body, (toks, done), jnp.arange(L))
+        (_, _, _), outs = jax.lax.scan(
+            body,
+            (self.init_state(B, emissions.dtype),
+             jnp.full((B,), c.eos_idx, jnp.int32), jnp.zeros((B,), bool)),
+            jnp.arange(L),
+        )
         outs = outs.transpose(1, 0)
         is_end = (outs == c.eos_idx) | (outs == c.pad_idx)
         lengths = jnp.argmax(is_end, axis=1)

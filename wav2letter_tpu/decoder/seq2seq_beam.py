@@ -31,32 +31,37 @@ NEG_INF = -math.inf
 def make_s2s_update_fn(criterion, crit_params, emissions: np.ndarray, emis_len: int):
     """Build the batched decoder-step function for one utterance.
 
-    criterion: a bound-able Seq2SeqCriterion (module def), crit_params its
-    params; emissions (T, H). Returns (step_fn, init_state_fn).
+    criterion: any s2s criterion exposing ``init_state(batch)`` and
+    ``decode_step(state, tok, enc, enc_mask, step_idx)`` with a pytree state
+    whose leaves have a leading hypothesis axis (GRU: hidden tuple + attn
+    peak; transformer: per-layer KV caches + position). emissions (T, H).
+    Returns (step_fn, init_state_fn); step advances all K hypotheses in one
+    jitted device call and returns (state, log_probs (K, V), peaks|None).
     """
     em = jnp.asarray(emissions)[None]  # (1, T, H)
 
     @jax.jit
-    def step(hiddens, peaks, toks):
+    def step(state, toks):
         K = toks.shape[0]
         enc = jnp.broadcast_to(em, (K,) + em.shape[1:])
         mask = jnp.arange(enc.shape[1])[None, :] < emis_len
         mask = jnp.broadcast_to(mask, (K, enc.shape[1]))
-        state = (tuple(hiddens), peaks)
-        (new_h, new_peaks), logits = criterion.apply(
+        new_state, logits = criterion.apply(
             {"params": crit_params}, state, toks, enc, mask, 0,
             method="decode_step",
         )
-        return list(new_h), new_peaks, jax.nn.log_softmax(logits, axis=-1)
+        peaks = new_state[1] if isinstance(new_state, tuple) else None
+        return new_state, jax.nn.log_softmax(logits, axis=-1), peaks
 
     def init_state(k: int):
-        c = criterion.cfg
-        return (
-            [np.zeros((k, c.hidden), np.float32) for _ in range(c.n_layers)],
-            np.zeros((k,), np.int32),
-        )
+        return criterion.apply({"params": crit_params}, k, method="init_state")
 
     return step, init_state
+
+
+def _gather_state(state, rows):
+    idx = np.asarray(rows)
+    return jax.tree.map(lambda a: jnp.asarray(a)[idx] if a.ndim >= 1 and a.shape[0] != 0 else a, state)
 
 
 @dataclasses.dataclass
@@ -107,22 +112,24 @@ class Seq2SeqDecoderBase:
     def decode(self, n_best: int = 1) -> List[DecodeResult]:
         opts = self.opts
         K = opts.beam_size
-        hiddens, peaks = self.init_state_fn(1)
+        state = self.init_state_fn(1)
         start = _S2SHyp(0.0, 0.0, 0.0, [], [], self.lm.start(False),
                         getattr(self, "trie", None) and self.trie.root, 0)
         beam = [start]
         finished: List[_S2SHyp] = []
         for step_i in range(self.max_output_len):
-            k = len(beam)
             toks = np.asarray(
                 [h.tokens[-1] if h.tokens else self.eos for h in beam], np.int32
             )
-            # gather states
-            h_in = [np.asarray(h)[[hh.state_idx for hh in beam]] for h in hiddens]
-            p_in = np.asarray(peaks)[[hh.state_idx for hh in beam]]
-            new_h, new_peaks, logp = self.update_fn(h_in, jnp.asarray(p_in), jnp.asarray(toks))
+            rows = [h.state_idx for h in beam]
+            state_in = _gather_state(state, rows)
+            new_state, logp, new_peaks = self.update_fn(state_in, jnp.asarray(toks))
             logp = np.asarray(logp)
-            new_peaks_np = np.asarray(new_peaks)
+            new_peaks_np = (
+                np.asarray(new_peaks) if new_peaks is not None
+                else np.zeros(len(beam), np.int32)
+            )
+            has_peaks = new_peaks is not None
             cands: List[_S2SHyp] = []
             n_tok = min(opts.beam_size_token, logp.shape[1])
             import math as _math
@@ -130,7 +137,7 @@ class Seq2SeqDecoderBase:
             for bi, hyp in enumerate(beam):
                 # attention-peak monotonicity pruning (--attentionthreshold):
                 # drop extensions whose attention jumped implausibly far
-                if _math.isfinite(self.attention_threshold):
+                if has_peaks and _math.isfinite(self.attention_threshold):
                     if abs(int(new_peaks_np[bi]) - hyp.peak) > self.attention_threshold:
                         continue
                 row = logp[bi]
@@ -169,7 +176,7 @@ class Seq2SeqDecoderBase:
             beam = [
                 h for h in cands[:K] if h.score >= best - opts.beam_threshold
             ]
-            hiddens, peaks = new_h, new_peaks
+            state = new_state
             if not beam:
                 break
         if not finished:

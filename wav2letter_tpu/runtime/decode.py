@@ -267,41 +267,6 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     make_s2s_update_fn,
                 )
 
-                if ecfg.criterion == "transformer":
-                    # transformer criterion: greedy decode (incremental beam
-                    # step function lands with KV caching — TODO.md)
-                    import jax.numpy as jnp
-
-                    toks, lens = ev.s2s_criterion.apply(
-                        {"params": ev.crit_params}, jnp.asarray(em)[None],
-                        jnp.asarray([em.shape[0]]), method="greedy_path",
-                    )
-                    toks = np.asarray(toks)[0][: int(np.asarray(lens)[0])]
-
-                    class _R:
-                        words = [-1]
-                        tokens = [int(t) for t in toks]
-                        score = am_score = lm_score = 0.0
-
-                    results = [_R()]
-                    res = results[0]
-                    emitted = []
-                    hyp_w = tokens_to_words(
-                        ev.token_dict.map_indices(
-                            [t for t in res.tokens if 0 <= t < ev.n_classes - 2]
-                        ),
-                        ecfg.wordseparator, ecfg.usewordpiece,
-                    )
-                    ref_w = tokens_to_words(
-                        ev.token_dict.map_indices(ref_toks), ecfg.wordseparator,
-                        ecfg.usewordpiece,
-                    )
-                    with lock:
-                        meters.wrd_edit.add(ref_w, hyp_w)
-                        meters.tkn_edit.add(ref_toks, res.tokens)
-                        sclite_rows.append((sid, ref_w, hyp_w))
-                    continue
-
                 fn, init = make_s2s_update_fn(
                     ev.s2s_criterion, ev.crit_params, em, em.shape[0]
                 )
