@@ -115,6 +115,26 @@ class Evaluator:
             return asg_viterbi(em, self.transitions, elen), elen
         return ctc_viterbi(em, elen), elen
 
+    def batch_loss(self, em, elen, targets, target_len):
+        """Per-batch mean criterion loss (reference Test.cpp loss meter)."""
+        import jax.numpy as jnp
+
+        tgt = jnp.asarray(targets)
+        tl = jnp.asarray(target_len)
+        if self.is_s2s:
+            losses = self.s2s_criterion.apply(
+                {"params": self.crit_params}, em, tgt, elen, tl
+            )
+        elif self.cfg.criterion == "asg":
+            from ..ops.asg import asg_loss
+
+            losses = asg_loss(em, self.transitions, tgt, elen, tl)
+        else:
+            from ..ops.ctc import ctc_loss
+
+            losses = ctc_loss(em, tgt, elen, tl)
+        return float(losses.mean())
+
     def collapse(self, path_row, length):
         toks = [int(t) for t in path_row[:length]]
         if self.is_s2s:
@@ -139,6 +159,10 @@ def run_test(cfg: Config) -> Dict[str, float]:
     it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
     for batch in it:
         em, elen = ev.emissions(batch)
+        meters.loss.add(
+            ev.batch_loss(em, elen, batch["target"], batch["target_len"]),
+            batch["audio"].shape[0],
+        )
         vit, vlen = ev.viterbi(em, elen)
         vit, vlen = np.asarray(vit), np.asarray(vlen)
         em_np = np.asarray(em)
@@ -169,6 +193,13 @@ def run_test(cfg: Config) -> Dict[str, float]:
                     emission=em_np[i, : int(elen_np[i])],
                     sample_id=sid,
                 )
-    res = {"TER": meters.tkn_edit.error_rate(), "WER": meters.wrd_edit.error_rate()}
-    print(f"[Test {ecfg.test}] TER: {res['TER']:.2f}%, WER: {res['WER']:.2f}%")
+    res = {
+        "TER": meters.tkn_edit.error_rate(),
+        "WER": meters.wrd_edit.error_rate(),
+        "loss": meters.loss.value(),
+    }
+    print(
+        f"[Test {ecfg.test}] loss: {res['loss']:.4f}, "
+        f"TER: {res['TER']:.2f}%, WER: {res['WER']:.2f}%"
+    )
     return res
