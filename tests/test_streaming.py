@@ -142,3 +142,39 @@ def test_bundle_roundtrip(tmp_path):
     o1 = run_streaming(net, feats, 16)
     o2 = run_streaming(net2, feats, 16)
     np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_streaming_ac_equals_batch():
+    """Asymmetric conv (AC, future-limited) streams equal to batch."""
+    nfeat, nlabel = 12, 6
+    lines = [
+        f"V -1 1 {nfeat} 0",
+        f"AC {nfeat} 10 5 1 -1 0.25",
+        "R",
+        "RO 2 0 3 1",
+        f"L 10 {nlabel}",
+        f"V {nlabel} 0 -1 1",
+    ]
+    m = build_arch_from_lines(lines, nlabel)
+    T = 40
+    x = jnp.zeros((1, T, nfeat))
+    params = m.init({"params": jax.random.PRNGKey(9)}, x, jnp.asarray([T]))
+    net = build_streaming_network(lines, nfeat, params["params"])
+    rng = np.random.RandomState(5)
+    feats = rng.randn(1, T, nfeat).astype(np.float32)
+    # batch: V -1 1 NFEAT maps to AF (T,1,C,B): freq dim 1, channels nfeat
+    batch_out = run_batch(m, params, feats)
+    states = net.start(1)
+    outs = []
+    for s in range(0, T, 7):
+        chunk = feats[:, s : s + 7]  # (1, n, C)
+        xin = jnp.asarray(chunk)[:, :, None, :]  # (1, n, 1, C)
+        states, y = net.run(states, xin)
+        if y.shape[1]:
+            outs.append(np.asarray(y))
+    states, y = net.finish(states)
+    if y is not None and y.shape[1]:
+        outs.append(np.asarray(y))
+    stream_out = np.concatenate(outs, axis=1)[0, :, 0, :]
+    assert stream_out.shape == batch_out.shape
+    np.testing.assert_allclose(stream_out, batch_out, rtol=1e-4, atol=1e-4)

@@ -93,6 +93,34 @@ def build_streaming_layers(
             channels = co
             pending_pad = (0, 0)
             continue
+        if kind == "AC":
+            # asymmetric (future-limited) 1-D conv: pad split by future
+            # fraction matches models.layers.AsymmetricConv1D exactly
+            ci, co = int(toks[1]), int(toks[2])
+            kw, sx = int(toks[3]), int(toks[4])
+            px = int(toks[5]) if len(toks) >= 6 else 0
+            fpx = float(toks[6]) if len(toks) >= 7 else 1.0
+            dx = int(toks[7]) if len(toks) >= 8 else 1
+            if dx != 1:
+                raise ValueError(f"streaming AC with dilation unsupported: {spec.line}")
+            # pad split replicates models.layers.AsymmetricConv1D
+            if px == -1:
+                total = kw - 1
+                right = int(round(fpx * total))
+            else:
+                total = 2 * px
+                right = int(round(fpx * total / 2.0))
+            left = total - right
+            plp, prp = pending_pad
+            name = f"l{i}_conv"
+            layers.append(
+                StreamConv(name, ci, co, kw, 1, sx, plp + left, prp + right,
+                           freq_dim=1)
+            )
+            pmap.append((name, child))
+            channels = co
+            pending_pad = (0, 0)
+            continue
         if kind == "TDS":
             c, w, f = int(toks[1]), int(toks[2]), int(toks[3])
             rpad = int(toks[6]) if len(toks) >= 7 else -1
@@ -130,6 +158,8 @@ def map_params(
     for sname, child in pmap:
         p = seq[child]
         if sname.endswith("_conv"):
+            if "conv" in p:  # AsymmetricConv1D wraps an inner Conv2D
+                p = p["conv"]
             if "v" in p:  # weight-normed conv
                 v, g = np.asarray(p["v"]), np.asarray(p["g"])
                 nrm = np.sqrt((v ** 2).sum(axis=(1, 2, 3), keepdims=True) + 1e-12)
