@@ -72,6 +72,29 @@ def test_transformer_with_mask():
     assert y.shape[-1] == 29
 
 
+@pytest.mark.parametrize("T,bptt", [(1, 8), (7, 8), (8, 8), (16, 16), (31, 64)])
+def test_rel_shift_matches_gather(T, bptt):
+    """The layout-op relative shift must equal the gather definition exactly
+    (values and gradients) for every T <= bptt."""
+    from wav2letter_tpu.models.transformer import _rel_shift
+
+    rng = np.random.RandomState(T * 100 + bptt)
+    qp = jnp.asarray(rng.randn(2, 3, T, 2 * bptt - 1).astype(np.float32))
+
+    def gather_ref(a):
+        rel = np.arange(T)[:, None] - np.arange(T)[None, :]
+        rel = np.clip(rel, -(bptt - 1), bptt - 1) + bptt - 1
+        return a[..., jnp.asarray(np.arange(T)[:, None]), jnp.asarray(rel)]
+
+    got = jax.jit(lambda a: _rel_shift(a, T, bptt))(qp)
+    want = gather_ref(qp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(_rel_shift(a, T, bptt))))(qp)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(gather_ref(a))))(qp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
 def test_residual_block():
     lines = [
         "V -1 1 16 0",

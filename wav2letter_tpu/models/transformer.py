@@ -67,14 +67,37 @@ class TFLinear(nn.Module):
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
+def _rel_shift(qp: Array, T: int, bptt: int) -> Array:
+    """Transformer-XL relative shift: qp (..., T, 2·bptt-1) -> (..., T, T)
+    with out[..., i, j] = qp[..., i, (i - j) + bptt - 1], for T <= bptt.
+
+    Pure slice/pad/reshape — no gather. Derivation: slice the used window
+    B = qp[..., :, bptt-T : bptt+T-1] (width 2T-1), flip the last axis so
+    out[i, j] = B'[i, j - i + T - 1], then realize the per-row -1 shift by
+    flattening, dropping the first T-1 elements, and reshaping to rows of
+    stride 2T-2 (out[i, j] = flat[i·(2T-2) + j]).
+    """
+    if T == 1:
+        return qp[..., bptt - 1 : bptt]
+    b = qp[..., bptt - T : bptt + T - 1]  # (..., T, 2T-1)
+    b = jnp.flip(b, axis=-1)  # b[i, k] = qp[i, bptt+T-2-k]; want k = j - i + T - 1
+    lead = b.shape[:-2]
+    flat = b.reshape(lead + (T * (2 * T - 1),))[..., T - 1 : T - 1 + T * (2 * T - 2)]
+    return flat.reshape(lead + (T, 2 * T - 2))[..., :T]
+
+
 def _rel_position_bias(q: Array, pos_emb: Array, bptt: int) -> Array:
     """q (..., H, T, Dh), pos_emb (2·bptt-1, Dh) -> bias (..., H, T, T).
 
     bias[i, j] = q_i · pos_emb[clamp(i-j, -(bptt-1), bptt-1) + bptt-1]
-    computed as a (T, 2bptt-1) matmul + gather (MXU + cheap reindex).
+    via a (T, 2bptt-1) matmul (MXU) + relative shift (layout ops only) when
+    T <= bptt (no clamping occurs there, so the shift is exact); gather
+    fallback for T > bptt where clamping makes columns repeat.
     """
     T = q.shape[-2]
     qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,R)
+    if T <= bptt:
+        return _rel_shift(qp, T, bptt)
     rel = np.arange(T)[:, None] - np.arange(T)[None, :]  # i - j
     rel = np.clip(rel, -(bptt - 1), bptt - 1) + bptt - 1  # (T,T) in [0,R)
     # advanced-index gather along the last axis: out[..., i, j] = qp[..., i, rel[i, j]]
