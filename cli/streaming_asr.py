@@ -82,7 +82,7 @@ def main():
         lex = Lexicon.from_file(args["lexicon_file"])
         word_dict = make_word_dict(lex)
         lm = (
-            ArpaLM(args["language_model_file"], usr_vocab=word_dict.entries())
+            KenLM(args["language_model_file"], usr_vocab=word_dict.entries())
             if args.get("language_model_file")
             else ZeroLM()
         )

@@ -34,7 +34,7 @@ class DecoderFactory:
     def __init__(self, args, meta, n_tokens, blank, sil, trans):
         from wav2letter_tpu.data.dictionary import Lexicon, make_word_dict
         from wav2letter_tpu.decoder import (
-            ArpaLM, CriterionType, DecoderOptions, SmearingMode, Trie, ZeroLM,
+            ArpaLM, KenLM, CriterionType, DecoderOptions, SmearingMode, Trie, ZeroLM,
         )
 
         self.n_tokens = n_tokens
@@ -55,7 +55,7 @@ class DecoderFactory:
             lex = Lexicon.from_file(args["lexicon_file"])
             self.word_dict = make_word_dict(lex)
             if args.get("language_model_file"):
-                self.lm = ArpaLM(
+                self.lm = KenLM(
                     args["language_model_file"], usr_vocab=self.word_dict.entries()
                 )
             self.trie = Trie(n_tokens)

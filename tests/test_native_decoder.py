@@ -166,3 +166,85 @@ def test_native_speed():
     dt = time.perf_counter() - t0
     # 200 frames with beam 100 should be well under a second natively
     assert dt < 1.0, f"native decode too slow: {dt}s"
+
+
+# ---------------------------------------------------------------------------
+# KenLM binary (probing) format: writer + reader round trip
+# ---------------------------------------------------------------------------
+
+def _rand_corpus(rng, n_sents, vocab):
+    return [
+        [vocab[rng.randint(len(vocab))] for _ in range(rng.randint(1, 7))]
+        for _ in range(n_sents)
+    ]
+
+
+def test_kenlm_binary_roundtrip_scores(tmp_path):
+    """ARPA -> probing .bin -> scores must equal the text reader's on every
+    context (backoff chains, OOV, bos/eos)."""
+    from wav2letter_tpu.tools.ngram_lm import build_binary, train_ngram_lm
+
+    rng = np.random.RandomState(3)
+    vocab = ["ab", "bc", "cd", "de", "ef", "gh"]
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "\n".join(" ".join(s) for s in _rand_corpus(rng, 200, vocab)) + "\n"
+    )
+    arpa = tmp_path / "lm.arpa"
+    train_ngram_lm(str(corpus), str(arpa), order=3)
+    binp = tmp_path / "lm.bin"
+    build_binary(str(arpa), str(binp))
+
+    pylm = ArpaLM(str(arpa))
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    blm = KenLM(str(binp))
+    assert blm.order == pylm.order
+    for sent in _rand_corpus(rng, 50, vocab + ["zz", "qq"]):  # incl. OOV
+        py = pylm.score_sentence(sent)
+        bn = blm.score_sentence(sent)
+        assert abs(py - bn) < 1e-4, f"{sent}: arpa={py} bin={bn}"
+
+
+def test_kenlm_binary_handwritten_arpa(tmp_path):
+    """Same round trip on the handwritten ARPA with explicit backoffs."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    from wav2letter_tpu.tools.ngram_lm import build_binary
+
+    binp = tmp_path / "lm.bin"
+    build_binary(str(arpa), str(binp))
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    pylm = ArpaLM(str(arpa))
+    blm = KenLM(str(binp))
+    for sent in (["ab", "bc"], ["ab"], ["bc", "ab"], ["zz"], ["ab", "ab", "bc"]):
+        assert abs(pylm.score_sentence(sent) - blm.score_sentence(sent)) < 1e-4
+
+
+def test_kenlm_binary_native_decode_matches_arpa(tmp_path):
+    """The native beam decoder loaded with the .bin must produce the same
+    hypotheses/scores as with the .arpa (reference --lm=*.bin path)."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    from wav2letter_tpu.tools.ngram_lm import build_binary
+
+    binp = tmp_path / "lm.bin"
+    build_binary(str(arpa), str(binp))
+    for seed in (0, 1, 2):
+        em = rand_emissions(10, seed + 300)
+        da, _ = build_native(str(arpa))
+        db, _ = build_native(str(binp))
+        ra = da.decode(em)[0]
+        rb = db.decode(em)[0]
+        assert [w for w in ra.words if w >= 0] == [w for w in rb.words if w >= 0]
+        assert abs(ra.score - rb.score) < 1e-3
+
+
+def test_kenlm_binary_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"mmap lm http://kheafield.com/code format version 9\n" + b"\0" * 256)
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    with pytest.raises(ValueError):
+        KenLM(str(bad))

@@ -208,12 +208,82 @@ class ArpaLM(LM):
         return total + s
 
 
+class NativeKenLM(LM):
+    """KenLM binary (probing-format) LM backed by the native core
+    (``ops/native/decoder.cpp::KenlmBinaryLM``). Also reads ARPA text via the
+    same extension. Implements the Python LM protocol so the pure-Python
+    decoders can consume .bin files; the native decoder consumes the handle
+    directly (reference --lm=*.bin path, ``cpc/Decode.cpp:249-259``)."""
+
+    def __init__(self, path: str, usr_vocab: Optional[Sequence[str]] = None):
+        import ctypes
+
+        from ..ops.native import decoder_lib
+
+        self.lib = decoder_lib()
+        self.ptr = self.lib.w2l_lm_load(path.encode())
+        if not self.ptr:
+            raise ValueError(f"failed to load LM: {path}")
+        self._c_int32 = ctypes.c_int32
+        self.order = self.lib.w2l_lm_order(self.ptr)
+        self.unk_id = self.lib.w2l_lm_unk_id(self.ptr)
+        self.bos_id = self.lib.w2l_lm_bos_id(self.ptr)
+        self.eos_id = self.lib.w2l_lm_eos_id(self.ptr)
+        self.usr_map: Optional[List[int]] = None
+        if usr_vocab is not None:
+            self.usr_map = [
+                self.lib.w2l_lm_word_id(self.ptr, w.encode()) for w in usr_vocab
+            ]
+
+    def raw_score(self, hist: Tuple[int, ...], w: int) -> float:
+        arr = (self._c_int32 * max(1, len(hist)))(*hist)
+        return float(self.lib.w2l_lm_score_hist(self.ptr, arr, len(hist), w))
+
+    def _next_state(self, hist: Tuple[int, ...], w: int) -> Tuple[int, ...]:
+        return (hist + (w,))[-(self.order - 1):] if self.order > 1 else ()
+
+    def start(self, start_with_nothing: bool = False) -> LMState:
+        if start_with_nothing or self.bos_id < 0:
+            return LMState(())
+        return LMState((self.bos_id,))
+
+    def score(self, state: LMState, usr_token_idx: int) -> Tuple[LMState, float]:
+        w = self.usr_map[usr_token_idx] if self.usr_map is not None else usr_token_idx
+        s = self.raw_score(state.ngram, w)
+        return LMState(self._next_state(state.ngram, w)), s
+
+    def finish(self, state: LMState) -> Tuple[LMState, float]:
+        if self.eos_id < 0:
+            return state, 0.0
+        s = self.raw_score(state.ngram, self.eos_id)
+        return LMState(self._next_state(state.ngram, self.eos_id)), s
+
+    def score_sentence(self, words: Sequence[str]) -> float:
+        st = self.start(False)
+        total = 0.0
+        for w in words:
+            wid = self.lib.w2l_lm_word_id(self.ptr, w.encode())
+            if wid < 0:
+                wid = self.unk_id
+            s = self.raw_score(st.ngram, wid)
+            st = LMState(self._next_state(st.ngram, wid))
+            total += s
+        _, s = self.finish(st)
+        return total + s
+
+    def __del__(self):
+        if getattr(self, "ptr", None):
+            try:
+                self.lib.w2l_lm_free(self.ptr)
+            except Exception:
+                pass
+
+
 def KenLM(path: str, usr_vocab: Optional[Sequence[str]] = None) -> LM:
-    """Factory matching the reference's KenLM usage: reads .arpa(.gz) text.
-    KenLM .bin mmap support is handled by the native extension when built."""
-    if path.endswith(".bin"):
-        raise NotImplementedError(
-            "kenlm binary format: use .arpa (text) — binary reader lands with "
-            "the native decoder extension"
-        )
+    """Factory matching the reference's KenLM usage (``cpc/Decode.cpp:249``):
+    .arpa(.gz) text via the pure-Python reader; .bin (kenlm probing binary)
+    via the native core. Trie/quantized (.qt) binaries are rejected by the
+    native loader with a pointer at the probing/ARPA alternatives."""
+    if path.endswith(".bin") or path.endswith(".qt"):
+        return NativeKenLM(path, usr_vocab)
     return ArpaLM(path, usr_vocab)

@@ -52,6 +52,18 @@ def decoder_lib() -> ctypes.CDLL:
     lib.w2l_lm_unk_id.argtypes = [c.c_void_p]
     lib.w2l_lm_score_seq.restype = c.c_float
     lib.w2l_lm_score_seq.argtypes = [c.c_void_p, c.POINTER(c.c_int32), c.c_int]
+    lib.w2l_lm_build_binary.restype = c.c_int
+    lib.w2l_lm_build_binary.argtypes = [c.c_char_p, c.c_char_p, c.c_float]
+    lib.w2l_lm_order.restype = c.c_int
+    lib.w2l_lm_order.argtypes = [c.c_void_p]
+    lib.w2l_lm_score_hist.restype = c.c_float
+    lib.w2l_lm_score_hist.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int32), c.c_int, c.c_int32,
+    ]
+    lib.w2l_lm_bos_id.restype = c.c_int
+    lib.w2l_lm_bos_id.argtypes = [c.c_void_p]
+    lib.w2l_lm_eos_id.restype = c.c_int
+    lib.w2l_lm_eos_id.argtypes = [c.c_void_p]
     lib.w2l_trie_new.restype = c.c_void_p
     lib.w2l_trie_free.argtypes = [c.c_void_p]
     lib.w2l_trie_insert.argtypes = [

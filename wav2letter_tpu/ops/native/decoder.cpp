@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <limits>
@@ -34,14 +35,50 @@ static inline double logadd(double a, double b) {
 }
 
 // ---------------------------------------------------------------------------
-// ARPA n-gram LM with backoff (log10 scores, KenLM convention)
+// LM interface: ARPA text or KenLM probing binary, both scoring log10 with
+// the standard backoff chain (KenLM convention; fl::lib::text::KenLM parity).
 // ---------------------------------------------------------------------------
-struct NgramLM {
+struct LMBase {
   int order = 0;
+  int unk_id = -1, bos_id = -1, eos_id = -1;
+  virtual ~LMBase() = default;
+  // (prob, backoff) of the exact n-gram ids[0..n) (ids[0] oldest); false if absent
+  virtual bool lookup_pb(const int32_t* ids, int n, float* p, float* b) const = 0;
+  virtual int find_word(const std::string& w) const = 0;  // -1 / unk if absent
+
+  // log10 P(w | hist) with backoff; hist length <= order-1
+  float score(const int32_t* hist, int hn, int32_t w) const {
+    if (w < 0) w = unk_id;  // OOV -> <unk>, then the normal backoff chain
+    if (w < 0) return -10.f;
+    float total_bo = 0.f, p, b;
+    int start = std::max(0, hn - (order - 1));
+    std::vector<int32_t> buf(hist + start, hist + hn);
+    while (true) {
+      buf.push_back(w);
+      bool found = lookup_pb(buf.data(), (int)buf.size(), &p, &b);
+      buf.pop_back();
+      if (found) return p + total_bo;
+      if (buf.empty()) {
+        if (lookup_pb(&w, 1, &p, &b)) return p + total_bo;
+        if (unk_id >= 0) {
+          int32_t uu = unk_id;
+          if (lookup_pb(&uu, 1, &p, &b)) return p + total_bo;
+        }
+        return -10.f + total_bo;
+      }
+      if (lookup_pb(buf.data(), (int)buf.size(), &p, &b)) total_bo += b;
+      buf.erase(buf.begin());
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// ARPA n-gram text reader
+// ---------------------------------------------------------------------------
+struct NgramLM : LMBase {
   std::unordered_map<std::string, int> vocab;
   // per-order maps: key = packed int32 word ids
   std::vector<std::unordered_map<std::string, std::pair<float, float>>> tables;
-  int unk_id = -1, bos_id = -1, eos_id = -1;
 
   static std::string key(const int32_t* ids, int n) {
     return std::string(reinterpret_cast<const char*>(ids), n * sizeof(int32_t));
@@ -99,42 +136,394 @@ struct NgramLM {
     return order > 0;
   }
 
-  const std::pair<float, float>* lookup(const int32_t* ids, int n) const {
-    if (n < 1 || n > order) return nullptr;
+  bool lookup_pb(const int32_t* ids, int n, float* p, float* b) const override {
+    if (n < 1 || n > order) return false;
     auto& t = tables[n - 1];
     auto it = t.find(key(ids, n));
-    return it == t.end() ? nullptr : &it->second;
+    if (it == t.end()) return false;
+    *p = it->second.first;
+    *b = it->second.second;
+    return true;
   }
 
-  // log10 P(w | hist) with backoff; hist length <= order-1
-  float score(const int32_t* hist, int hn, int32_t w) const {
-    if (w < 0) w = unk_id;  // OOV -> <unk>, then the normal backoff chain
-    if (w < 0) return -10.f;
-    float total_bo = 0.f;
-    // start from longest usable context
-    int start = std::max(0, hn - (order - 1));
-    std::vector<int32_t> buf(hist + start, hist + hn);
-    while (true) {
-      buf.push_back(w);
-      auto e = lookup(buf.data(), (int)buf.size());
-      buf.pop_back();
-      if (e) return e->first + total_bo;
-      if (buf.empty()) {
-        auto u = lookup(&w, 1);
-        if (u) return u->first + total_bo;
-        if (unk_id >= 0) {
-          int32_t uu = unk_id;
-          auto e2 = lookup(&uu, 1);
-          if (e2) return e2->first + total_bo;
-        }
-        return -10.f + total_bo;
-      }
-      auto b = lookup(buf.data(), (int)buf.size());
-      if (b) total_bo += b->second;
-      buf.erase(buf.begin());
-    }
+  int find_word(const std::string& w) const override {
+    auto it = vocab.find(w);
+    return it == vocab.end() ? -1 : it->second;
   }
 };
+
+// ---------------------------------------------------------------------------
+// KenLM binary, PROBING format — reader + writer.
+//
+// Layout reconstructed from the public KenLM sources (lm/binary_format.cc,
+// lm/vocab.cc, lm/search_hashed.hh, util/probing_hash_table.hh); the
+// reference decodes with these files (--lm=*.bin, e.g.
+// recipes/streaming_convnets/librispeech/prepare_lms.sh builds them).
+// Reader + writer are round-trip tested against the ARPA path; TRIE /
+// quantized (.qt) variants are rejected with a clear error (use probing or
+// ARPA). Scores are log10, as stored.
+// ---------------------------------------------------------------------------
+
+// MurmurHash64A (public domain, Austin Appleby) — KenLM's HashForVocab
+// (util/murmur_hash.cc) with seed 0 on 64-bit little-endian.
+static uint64_t murmur64a(const void* key, size_t len, uint64_t seed = 0) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = seed ^ (len * m);
+  const unsigned char* data = static_cast<const unsigned char*>(key);
+  const unsigned char* end = data + (len & ~size_t(7));
+  while (data != end) {
+    uint64_t k;
+    std::memcpy(&k, data, 8);
+    data += 8;
+    k *= m; k ^= k >> r; k *= m;
+    h ^= k; h *= m;
+  }
+  uint64_t tail = 0;
+  switch (len & 7) {
+    case 7: tail ^= uint64_t(data[6]) << 48; [[fallthrough]];
+    case 6: tail ^= uint64_t(data[5]) << 40; [[fallthrough]];
+    case 5: tail ^= uint64_t(data[4]) << 32; [[fallthrough]];
+    case 4: tail ^= uint64_t(data[3]) << 24; [[fallthrough]];
+    case 3: tail ^= uint64_t(data[2]) << 16; [[fallthrough]];
+    case 2: tail ^= uint64_t(data[1]) << 8;  [[fallthrough]];
+    case 1: tail ^= uint64_t(data[0]);
+            h ^= tail; h *= m;
+  }
+  h ^= h >> r; h *= m; h ^= h >> r;
+  return h;
+}
+
+// lm/search_hashed.hh detail::CombineWordHash
+static inline uint64_t combine_word_hash(uint64_t cur, uint32_t next) {
+  return (cur * 8978948897894561157ULL) ^
+         ((uint64_t)(1 + next) * 17894857484156487943ULL);
+}
+
+// n-gram key: start from the NEWEST word, extend left through the context
+// (KenLM LookupUnigram sets node=word then LookupMiddle combines leftwards).
+static uint64_t kenlm_ngram_hash(const int32_t* ids, int n) {
+  uint64_t h = (uint32_t)ids[n - 1];
+  for (int i = n - 2; i >= 0; --i) h = combine_word_hash(h, (uint32_t)ids[i]);
+  return h;
+}
+
+static inline uint64_t align8(uint64_t x) { return (x + 7) & ~uint64_t(7); }
+
+static const char kKenlmMagicPrefix[] =
+    "mmap lm http://kheafield.com/code format version";
+static const char kKenlmMagicBytes[] =
+    "mmap lm http://kheafield.com/code format version 5\n";
+
+#pragma pack(push, 1)
+struct KenlmSanity {  // lm/binary_format.cc struct Sanity (88 bytes)
+  char magic[56];     // ALIGN8(sizeof(kMagicBytes)) incl. trailing NULs
+  float zero_f, one_f, minus_half_f;
+  uint32_t one_word_index, max_word_index;
+  uint32_t pad_;
+  uint64_t one_uint64;
+};
+struct KenlmFixedParams {  // lm/binary_format.hh FixedWidthParameters (20 bytes)
+  unsigned char order;
+  unsigned char pad_[3];
+  float probing_multiplier;
+  int32_t model_type;  // 0 PROBING, 1 REST_PROBING, 2 TRIE, 3.. quantized
+  unsigned char has_vocabulary;
+  unsigned char pad2_[3];
+  uint32_t search_version;
+};
+struct KenlmProbBackoff { float prob, backoff; };
+struct KenlmMiddleEntry { uint64_t key; KenlmProbBackoff pb; };
+struct KenlmLongestEntry { uint64_t key; float prob; uint32_t pad_; };
+struct KenlmVocabEntry { uint64_t key; uint32_t value; uint32_t pad_; };
+#pragma pack(pop)
+static_assert(sizeof(KenlmSanity) == 88, "kenlm Sanity layout");
+static_assert(sizeof(KenlmFixedParams) == 20, "kenlm params layout");
+static_assert(sizeof(KenlmMiddleEntry) == 16 && sizeof(KenlmLongestEntry) == 16 &&
+              sizeof(KenlmVocabEntry) == 16, "kenlm entry layout");
+
+static uint64_t probing_buckets(uint64_t entries, float multiplier) {
+  return std::max<uint64_t>(entries + 1, (uint64_t)(multiplier * (float)entries));
+}
+
+template <class E>
+static const E* probe_find(const E* table, uint64_t buckets, uint64_t key) {
+  if (!buckets || key == 0) return nullptr;  // key 0 marks empty buckets
+  uint64_t i = key % buckets;
+  for (uint64_t n = 0; n < buckets; ++n) {
+    const E& e = table[i];
+    if (e.key == key) return &e;
+    if (e.key == 0) return nullptr;
+    if (++i == buckets) i = 0;
+  }
+  return nullptr;
+}
+
+template <class E>
+static void probe_insert(E* table, uint64_t buckets, const E& entry) {
+  uint64_t i = entry.key % buckets;
+  while (table[i].key != 0) {
+    if (table[i].key == entry.key) { table[i] = entry; return; }
+    if (++i == buckets) i = 0;
+  }
+  table[i] = entry;
+}
+
+struct KenlmBinaryLM : LMBase {
+  std::vector<char> buf;  // whole file; tables are pointers into it
+  const KenlmProbBackoff* unigram = nullptr;
+  uint64_t n_unigram = 0;  // valid ids are [0, n_unigram)
+  struct Mid { const KenlmMiddleEntry* t; uint64_t buckets; };
+  std::vector<Mid> middles;
+  const KenlmLongestEntry* longest = nullptr;
+  uint64_t longest_buckets = 0;
+  const KenlmVocabEntry* vocab_table = nullptr;
+  uint64_t vocab_buckets = 0;
+  std::string error;
+
+  bool load(const std::string& path) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f) { error = "cannot open " + path; return false; }
+    f.seekg(0, std::ios::end);
+    buf.resize((size_t)f.tellg());
+    f.seekg(0);
+    f.read(buf.data(), buf.size());
+    if (buf.size() < sizeof(KenlmSanity) + sizeof(KenlmFixedParams)) {
+      error = "file too small for kenlm binary";
+      return false;
+    }
+    if (std::memcmp(buf.data(), kKenlmMagicPrefix, sizeof(kKenlmMagicPrefix) - 1)) {
+      error = "bad kenlm magic";
+      return false;
+    }
+    if (buf[sizeof(kKenlmMagicPrefix)] != '5') {
+      error = "unsupported kenlm binary format version (need 5)";
+      return false;
+    }
+    KenlmFixedParams prm;
+    std::memcpy(&prm, buf.data() + sizeof(KenlmSanity), sizeof(prm));
+    if (prm.model_type != 0) {
+      error = "kenlm model type " + std::to_string(prm.model_type) +
+              " unsupported (only PROBING; rebuild with `build_binary probing` "
+              "or use the .arpa text)";
+      return false;
+    }
+    order = prm.order;
+    if (order < 1 || order > 16) { error = "bad order"; return false; }
+    std::vector<uint64_t> counts(order);
+    uint64_t off = sizeof(KenlmSanity) + sizeof(KenlmFixedParams);
+    if (buf.size() < off + 8 * order) { error = "truncated header"; return false; }
+    std::memcpy(counts.data(), buf.data() + off, 8 * order);
+    off = align8(off + 8 * order);  // TotalHeaderSize
+
+    // ProbingVocabulary: ALIGN8(header{uint64 bound}) + hash table
+    if (buf.size() < off + 8) { error = "truncated vocab header"; return false; }
+    off += align8(8);
+    vocab_buckets = probing_buckets(counts[0], prm.probing_multiplier);
+    vocab_table = reinterpret_cast<const KenlmVocabEntry*>(buf.data() + off);
+    off += vocab_buckets * sizeof(KenlmVocabEntry);
+
+    // HashedSearch: unigram array, middles, longest
+    n_unigram = counts[0] + 1;
+    unigram = reinterpret_cast<const KenlmProbBackoff*>(buf.data() + off);
+    off += n_unigram * sizeof(KenlmProbBackoff);
+    for (int o = 2; o < order; ++o) {
+      uint64_t bk = probing_buckets(counts[o - 1], prm.probing_multiplier);
+      middles.push_back({reinterpret_cast<const KenlmMiddleEntry*>(buf.data() + off), bk});
+      off += bk * sizeof(KenlmMiddleEntry);
+    }
+    if (order > 1) {
+      longest_buckets = probing_buckets(counts[order - 1], prm.probing_multiplier);
+      longest = reinterpret_cast<const KenlmLongestEntry*>(buf.data() + off);
+      off += longest_buckets * sizeof(KenlmLongestEntry);
+    }
+    if (buf.size() < off) { error = "truncated tables"; return false; }
+
+    unk_id = 0;  // kenlm convention: <unk> is always id 0
+    bos_id = find_word("<s>");
+    eos_id = find_word("</s>");
+    return true;
+  }
+
+  int find_word(const std::string& w) const override {
+    if (w == "<unk>" || w == "<UNK>") return 0;
+    auto* e = probe_find(vocab_table, vocab_buckets, murmur64a(w.data(), w.size()));
+    return e ? (int)e->value : 0;  // kenlm: OOV -> 0 (<unk>)
+  }
+
+  bool lookup_pb(const int32_t* ids, int n, float* p, float* b) const override {
+    if (n < 1 || n > order) return false;
+    if (n == 1) {
+      uint32_t w = (ids[0] < 0 || (uint64_t)ids[0] >= n_unigram) ? 0 : (uint32_t)ids[0];
+      *p = unigram[w].prob;
+      *b = unigram[w].backoff;
+      return true;
+    }
+    uint64_t h = kenlm_ngram_hash(ids, n);
+    if (n == order) {
+      auto* e = probe_find(longest, longest_buckets, h);
+      if (!e) return false;
+      *p = e->prob;
+      *b = 0.f;
+      return true;
+    }
+    auto* e = probe_find(middles[n - 2].t, middles[n - 2].buckets, h);
+    if (!e) return false;
+    *p = e->pb.prob;
+    *b = e->pb.backoff;
+    return true;
+  }
+};
+
+// build_binary equivalent: ARPA text -> kenlm PROBING binary.
+static bool kenlm_build_binary(const std::string& arpa, const std::string& out,
+                               float multiplier, std::string* err) {
+  std::ifstream f(arpa);
+  if (!f) { *err = "cannot open " + arpa; return false; }
+  std::string line;
+  int section = -1, order = 0;
+  std::unordered_map<std::string, uint32_t> vocab;  // kenlm ids: <unk>=0
+  std::vector<std::string> words_by_id{"<unk>"};
+  bool saw_unk = false;
+  struct Gram { std::vector<int32_t> ids; float p, bo; };
+  std::vector<std::vector<Gram>> grams;
+  while (std::getline(f, line)) {
+    while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
+      line.pop_back();
+    if (line.empty()) continue;
+    if (line.rfind("\\data\\", 0) == 0) { section = 0; continue; }
+    if (line[0] == '\\' && line.find("-grams:") != std::string::npos) {
+      section = std::stoi(line.substr(1, line.find('-') - 1));
+      while ((int)grams.size() < section) grams.emplace_back();
+      continue;
+    }
+    if (line.rfind("\\end\\", 0) == 0) break;
+    if (section <= 0) continue;
+    std::istringstream ss(line);
+    float logp;
+    if (!(ss >> logp)) continue;
+    Gram g;
+    g.ids.resize(section);
+    g.p = logp;
+    g.bo = 0.f;
+    std::string w;
+    bool ok = true;
+    for (int i = 0; i < section; i++) {
+      if (!(ss >> w)) { ok = false; break; }
+      if (section == 1) {  // assign ids in unigram order, kenlm-style
+        if (w == "<unk>" || w == "<UNK>") { saw_unk = true; g.ids[i] = 0; }
+        else {
+          auto it = vocab.find(w);
+          if (it == vocab.end()) {
+            uint32_t id = (uint32_t)words_by_id.size();
+            vocab.emplace(w, id);
+            words_by_id.push_back(w);
+            g.ids[i] = (int32_t)id;
+          } else g.ids[i] = (int32_t)it->second;
+        }
+      } else {
+        if (w == "<unk>" || w == "<UNK>") g.ids[i] = 0;
+        else {
+          auto it = vocab.find(w);
+          g.ids[i] = it == vocab.end() ? 0 : (int32_t)it->second;
+        }
+      }
+    }
+    if (!ok) continue;
+    ss >> g.bo;
+    grams[section - 1].push_back(std::move(g));
+  }
+  order = (int)grams.size();
+  if (order < 1) { *err = "no n-gram sections in " + arpa; return false; }
+  std::vector<uint64_t> counts(order);
+  for (int o = 0; o < order; ++o) counts[o] = grams[o].size();
+  if (!saw_unk) counts[0] += 1;  // implicit <unk> slot
+
+  // layout
+  uint64_t header_sz = align8(sizeof(KenlmSanity) + sizeof(KenlmFixedParams) + 8 * order);
+  uint64_t vocab_buckets = probing_buckets(counts[0], multiplier);
+  uint64_t vocab_sz = align8(8) + vocab_buckets * sizeof(KenlmVocabEntry);
+  uint64_t uni_sz = (counts[0] + 1) * sizeof(KenlmProbBackoff);
+  std::vector<uint64_t> mid_buckets;
+  uint64_t mid_sz = 0;
+  for (int o = 2; o < order; ++o) {
+    mid_buckets.push_back(probing_buckets(counts[o - 1], multiplier));
+    mid_sz += mid_buckets.back() * sizeof(KenlmMiddleEntry);
+  }
+  uint64_t long_buckets = order > 1 ? probing_buckets(counts[order - 1], multiplier) : 0;
+  uint64_t long_sz = long_buckets * sizeof(KenlmLongestEntry);
+  std::vector<char> out_buf(header_sz + vocab_sz + uni_sz + mid_sz + long_sz, 0);
+
+  // header
+  KenlmSanity sanity;
+  std::memset(&sanity, 0, sizeof(sanity));
+  std::memcpy(sanity.magic, kKenlmMagicBytes, sizeof(kKenlmMagicBytes));
+  sanity.zero_f = 0.f; sanity.one_f = 1.f; sanity.minus_half_f = -0.5f;
+  sanity.one_word_index = 1;
+  sanity.max_word_index = std::numeric_limits<uint32_t>::max();
+  sanity.pad_ = 0;
+  sanity.one_uint64 = 1;
+  std::memcpy(out_buf.data(), &sanity, sizeof(sanity));
+  KenlmFixedParams prm;
+  std::memset(&prm, 0, sizeof(prm));
+  prm.order = (unsigned char)order;
+  prm.probing_multiplier = multiplier;
+  prm.model_type = 0;  // PROBING
+  prm.has_vocabulary = 1;
+  prm.search_version = 0;
+  std::memcpy(out_buf.data() + sizeof(sanity), &prm, sizeof(prm));
+  std::memcpy(out_buf.data() + sizeof(sanity) + sizeof(prm), counts.data(), 8 * order);
+
+  // vocab
+  uint64_t off = header_sz;
+  uint64_t bound = words_by_id.size();  // ids are [0, bound)
+  std::memcpy(out_buf.data() + off, &bound, 8);
+  off += align8(8);
+  auto* vt = reinterpret_cast<KenlmVocabEntry*>(out_buf.data() + off);
+  for (uint32_t id = 1; id < (uint32_t)words_by_id.size(); ++id) {
+    const std::string& w = words_by_id[id];
+    probe_insert(vt, vocab_buckets, KenlmVocabEntry{murmur64a(w.data(), w.size()), id, 0});
+  }
+  off += vocab_buckets * sizeof(KenlmVocabEntry);
+
+  // unigrams (dense by id); default <unk> if absent from the ARPA
+  auto* uni = reinterpret_cast<KenlmProbBackoff*>(out_buf.data() + off);
+  uni[0] = {-10.f, 0.f};
+  for (const auto& g : grams[0]) uni[(uint32_t)g.ids[0]] = {g.p, g.bo};
+  off += uni_sz;
+
+  // middle orders
+  for (int o = 2; o < order; ++o) {
+    auto* t = reinterpret_cast<KenlmMiddleEntry*>(out_buf.data() + off);
+    uint64_t bk = mid_buckets[o - 2];
+    for (const auto& g : grams[o - 1])
+      probe_insert(t, bk, KenlmMiddleEntry{kenlm_ngram_hash(g.ids.data(), o), {g.p, g.bo}});
+    off += bk * sizeof(KenlmMiddleEntry);
+  }
+  // longest order (prob only)
+  if (order > 1) {
+    auto* t = reinterpret_cast<KenlmLongestEntry*>(out_buf.data() + off);
+    for (const auto& g : grams[order - 1])
+      probe_insert(t, long_buckets,
+                   KenlmLongestEntry{kenlm_ngram_hash(g.ids.data(), order), g.p, 0});
+    off += long_sz;
+  }
+
+  std::ofstream of(out, std::ios::binary);
+  if (!of) { *err = "cannot write " + out; return false; }
+  of.write(out_buf.data(), out_buf.size());
+  // vocabulary strings, null-terminated in id order (kenlm has_vocabulary tail)
+  for (const auto& w : words_by_id) of.write(w.c_str(), w.size() + 1);
+  return (bool)of;
+}
+
+// Sniff: kenlm binary magic vs ARPA text.
+static bool is_kenlm_binary(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  char head[sizeof(kKenlmMagicPrefix)] = {0};
+  f.read(head, sizeof(kKenlmMagicPrefix) - 1);
+  return f && !std::memcmp(head, kKenlmMagicPrefix, sizeof(kKenlmMagicPrefix) - 1);
+}
 
 // LM state = up to (order-1) word ids, interned so states can be compared
 // by id (hyp merging).
@@ -244,7 +633,7 @@ struct Hyp {
 struct Decoder {
   DecoderOptions opts;
   Trie* trie = nullptr;           // may be null (lexicon-free)
-  NgramLM* lm = nullptr;          // may be null (zero LM)
+  LMBase* lm = nullptr;           // may be null (zero LM)
   LMStatePool pool;
   int sil = 0, blank = -1, unk_word = -1;
   std::vector<float> transitions;  // N*N or empty
@@ -531,28 +920,57 @@ struct Decoder {
 // ---------------------------------------------------------------------------
 extern "C" {
 
-void* w2l_lm_load(const char* arpa_path) {
+void* w2l_lm_load(const char* path) {
+  // auto-detect: kenlm probing binary (magic sniff) vs ARPA text
+  if (is_kenlm_binary(path)) {
+    auto* lm = new KenlmBinaryLM();
+    if (!lm->load(path)) {
+      std::fprintf(stderr, "w2l_lm_load: %s\n", lm->error.c_str());
+      delete lm;
+      return nullptr;
+    }
+    return static_cast<LMBase*>(lm);
+  }
   auto* lm = new NgramLM();
-  if (!lm->load_arpa(arpa_path)) {
+  if (!lm->load_arpa(path)) {
     delete lm;
     return nullptr;
   }
-  return lm;
+  return static_cast<LMBase*>(lm);
 }
 
-void w2l_lm_free(void* lm) { delete static_cast<NgramLM*>(lm); }
+// ARPA -> kenlm PROBING binary (build_binary equivalent); 1 on success
+int w2l_lm_build_binary(const char* arpa, const char* out, float multiplier) {
+  std::string err;
+  if (multiplier < 1.0f) multiplier = 1.5f;
+  if (!kenlm_build_binary(arpa, out, multiplier, &err)) {
+    std::fprintf(stderr, "w2l_lm_build_binary: %s\n", err.c_str());
+    return 0;
+  }
+  return 1;
+}
+
+int w2l_lm_order(void* lm_) { return static_cast<LMBase*>(lm_)->order; }
+
+// log10 P(w | hist); hist = LM word ids, oldest first
+float w2l_lm_score_hist(void* lm_, const int32_t* hist, int hn, int32_t w) {
+  return static_cast<LMBase*>(lm_)->score(hist, hn, w);
+}
+
+int w2l_lm_bos_id(void* lm_) { return static_cast<LMBase*>(lm_)->bos_id; }
+int w2l_lm_eos_id(void* lm_) { return static_cast<LMBase*>(lm_)->eos_id; }
+
+void w2l_lm_free(void* lm) { delete static_cast<LMBase*>(lm); }
 
 int w2l_lm_word_id(void* lm_, const char* word) {
-  auto* lm = static_cast<NgramLM*>(lm_);
-  auto it = lm->vocab.find(word);
-  return it == lm->vocab.end() ? -1 : it->second;
+  return static_cast<LMBase*>(lm_)->find_word(word);
 }
 
-int w2l_lm_unk_id(void* lm_) { return static_cast<NgramLM*>(lm_)->unk_id; }
+int w2l_lm_unk_id(void* lm_) { return static_cast<LMBase*>(lm_)->unk_id; }
 
 float w2l_lm_score_seq(void* lm_, const int32_t* ids, int n) {
   // sentence log10 prob incl. </s> (utility / perplexity checks)
-  auto* lm = static_cast<NgramLM*>(lm_);
+  auto* lm = static_cast<LMBase*>(lm_);
   std::vector<int32_t> hist;
   if (lm->bos_id >= 0) hist.push_back(lm->bos_id);
   float total = 0;
@@ -589,7 +1007,7 @@ void* w2l_decoder_new(
              sil_score, log_add, criterion};
   if (unk_score <= -1e29) d->opts.unk_score = kNegInf;
   d->trie = static_cast<Trie*>(trie);
-  d->lm = static_cast<NgramLM*>(lm);
+  d->lm = static_cast<LMBase*>(lm);
   d->sil = sil;
   d->blank = blank;
   d->unk_word = unk_word;

@@ -23,6 +23,7 @@ from ..data.dictionary import unpack_replabels
 from ..data.targets import tokens_to_words
 from ..decoder import (
     ArpaLM,
+    KenLM,
     CriterionType,
     DecoderOptions,
     LexiconDecoder,
@@ -61,9 +62,9 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
     if cfg.lm:
         if word_level_lm:
             vocab = word_dict.entries() if word_dict else None
-            lm = ArpaLM(cfg.lm, usr_vocab=vocab)
+            lm = KenLM(cfg.lm, usr_vocab=vocab)
         else:
-            lm = ArpaLM(cfg.lm, usr_vocab=token_dict.entries())
+            lm = KenLM(cfg.lm, usr_vocab=token_dict.entries())
 
     if use_lexicon:
         trie = Trie(n_tokens)
@@ -119,10 +120,10 @@ def _build_native_decoder(cfg, opts, token_dict, lexicon, word_dict,
     unk = -1
     if use_lexicon:
         trie = NativeTrie(n_tokens)
-        from ..decoder.lm import ArpaLM
+
 
         # word start scores (python ArpaLM reused just for unigram scores)
-        score_lm = ArpaLM(cfg.lm, usr_vocab=word_dict.entries()) if (
+        score_lm = KenLM(cfg.lm, usr_vocab=word_dict.entries()) if (
             cfg.lm and word_level_lm
         ) else None
         start = score_lm.start(False) if score_lm else None
@@ -234,12 +235,12 @@ def run_decode(cfg: Config) -> Dict[str, float]:
             # utterance around the batched attention-decoder step
             from ..data.dictionary import make_word_dict as _mwd
             from ..decoder import DecoderOptions as _DO, SmearingMode, Trie, ZeroLM
-            from ..decoder.lm import ArpaLM
+            from ..decoder.lm import KenLM
 
             word_dict = _mwd(ev.lexicon) if ev.lexicon else None
             s2s_opts = _DO.from_config(ecfg)
             s2s_lm = (
-                ArpaLM(ecfg.lm, usr_vocab=(
+                KenLM(ecfg.lm, usr_vocab=(
                     word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
                     else ev.token_dict.entries()))
                 if ecfg.lm else ZeroLM()

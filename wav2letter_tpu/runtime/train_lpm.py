@@ -25,7 +25,7 @@ from ..config import Config
 from ..data.batching import pad_batch_rows
 from ..data.scheduler import DataScheduler
 from ..data import AsrDataset
-from ..decoder.lm import LM, ArpaLM, ZeroLM
+from ..decoder.lm import LM, ArpaLM, KenLM, ZeroLM
 from ..parallel import shard_batch
 from ..parallel.mesh import DATA_AXIS
 from .train import Trainer, _log
@@ -50,7 +50,7 @@ class LPMTrainer(Trainer):
         if lpm_flags:
             self.fl.update(lpm_flags)
         self.lm: LM = lm if lm is not None else (
-            ArpaLM(cfg.lm, usr_vocab=self.token_dict.entries()) if cfg.lm else ZeroLM()
+            KenLM(cfg.lm, usr_vocab=self.token_dict.entries()) if cfg.lm else ZeroLM()
         )
         self.unpaired_ds = AsrDataset(
             unpaired_list or cfg.train2, self.token_dict, self.lexicon, cfg,

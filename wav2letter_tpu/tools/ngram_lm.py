@@ -211,3 +211,18 @@ def perplexity(arpa_path: str, sentences: Iterable[Sequence[str]]) -> float:
         total_lp += lm.score_sentence([w.lower() for w in sent])
         total_n += len(sent) + 1  # + </s>
     return 10 ** (-total_lp / max(1, total_n))
+
+
+def build_binary(arpa_path: str, out_bin: str, probing_multiplier: float = 1.5) -> str:
+    """ARPA text -> KenLM probing-format binary via the native core — the
+    analog of kenlm's ``build_binary`` used throughout the reference recipes
+    (e.g. streaming_convnets/librispeech/prepare_lms.sh). The result loads
+    through ``decoder.lm.KenLM`` / the native decoder (--lm=*.bin)."""
+    from ..ops.native import decoder_lib
+
+    lib = decoder_lib()
+    if not lib.w2l_lm_build_binary(
+        arpa_path.encode(), out_bin.encode(), probing_multiplier
+    ):
+        raise RuntimeError(f"build_binary failed for {arpa_path}")
+    return out_bin
