@@ -175,3 +175,35 @@ def test_reference_arch_files(arch, nfeat, nlabel, expect_mparams):
     assert abs(n - expect_mparams) / expect_mparams < 0.02
     y, yl = m.apply(p, x, xl)
     assert y.shape[-1] == nlabel
+
+
+def test_conformer_conv_norm_variants():
+    """CFR optional 9th operand selects the conv-module norm: LN default,
+    BN = Conformer-paper masked BatchNorm (padded frames excluded from
+    batch statistics)."""
+    from wav2letter_tpu.models.transformer import ConformerLayer
+
+    for tail, expect_bn in (("", False), (" BN", True), (" LN", False)):
+        lines = ["V -1 1 16 0", "RO 2 0 3 1", f"CFR 16 32 4 64 3 0.1 0.0{tail}", "L 16 8"]
+        m = build_arch_from_lines(lines, 8)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 16).astype(np.float32))
+        xl = jnp.asarray([32, 16], jnp.int32)
+        p = m.init({"params": jax.random.PRNGKey(0)}, x, xl)
+        has_bn = "batch_stats" in p
+        assert has_bn == expect_bn, (tail, list(p.keys()))
+        if not expect_bn:
+            continue
+        # padded frames must not pollute batch stats: extending the padding
+        # region with garbage leaves train-mode outputs on valid frames intact
+        (y1, _), _ = m.apply(p, x, xl, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        x2 = x.at[1, 16:].set(1e3)  # garbage in sample 1's padding
+        (y2, _), bs2 = m.apply(p, x2, xl, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(1)},
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y2[0]),
+                                   rtol=2e-4, atol=2e-4)
+        # eval mode consumes the running stats without mutation
+        y_eval, _ = m.apply({**p, "batch_stats": bs2["batch_stats"]}, x, xl)
+        assert np.isfinite(np.asarray(y_eval)).all()

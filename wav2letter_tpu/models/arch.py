@@ -99,9 +99,15 @@ def _parse_one(tokens: List[str], line: str) -> LayerSpec:
         md, mlp, nh, csz, kern = int(p[1]), int(p[2]), int(p[3]), int(p[4]), int(p[5])
         do = _num(p[6])
         ld = _num(p[7]) if len(p) >= 8 else 0.0
+        # optional 9th operand (extension): conv-module norm, LN (default,
+        # masked-streaming-safe) or BN (Conformer-paper batch norm, masked)
+        cn = p[8].lower() if len(p) >= 9 else "ln"
+        if cn not in ("ln", "bn", "layernorm", "batchnorm"):
+            raise ValueError(f"CFR conv norm must be LN or BN, got {p[8]!r}: {line}")
+        cn = {"ln": "layernorm", "bn": "batchnorm"}.get(cn, cn)
         return LayerSpec(
             "CFR",
-            lambda nm: ConformerLayer(md, mlp, nh, csz, kern, do, ld, name=nm),
+            lambda nm: ConformerLayer(md, mlp, nh, csz, kern, do, ld, conv_norm=cn, name=nm),
             needs_mask=True,
             line=line,
         )

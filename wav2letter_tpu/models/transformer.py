@@ -207,6 +207,7 @@ class ConformerLayer(nn.Module):
     conv_kernel: int
     dropout: float = 0.0
     layerdrop: float = 0.0
+    conv_norm: str = "layernorm"  # "layernorm" (masked-safe) | "batchnorm" (paper)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None, train: bool = False) -> Array:
@@ -263,7 +264,42 @@ class ConformerLayer(nn.Module):
             feature_group_count=C,
         )
         h = y.reshape(lead + (T, C))
-        h = LayerNorm((0, 3), name="conv_bn")(h)  # BN in paper; LN here (masked-safe)
+        if self.conv_norm == "batchnorm":
+            h = self._masked_batchnorm(h, mask, train)  # Conformer-paper BN
+        else:
+            h = LayerNorm((0, 3), name="conv_bn")(h)  # LN default (masked-safe)
         h = h * jax.nn.sigmoid(h)
         h = TFLinear(C, C, name="conv_pw2")(h)
         return Dropout(self.dropout, name="conv_do")(h, train=train)
+
+    def _masked_batchnorm(self, h: Array, mask, train: bool,
+                          momentum: float = 0.9, eps: float = 1e-5) -> Array:
+        """Per-channel BatchNorm over valid (batch, time) positions only —
+        the Conformer paper's conv-module norm, made pad-mask-correct so
+        padded frames don't pollute the batch statistics."""
+        C = h.shape[-1]
+        w = self.param("conv_bn_weight", lambda k, s: jnp.ones(s, jnp.float32), (C,))
+        b = self.param("conv_bn_bias", lambda k, s: jnp.zeros(s, jnp.float32), (C,))
+        ra_mean = self.variable("batch_stats", "conv_bn_mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "conv_bn_var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        hf = h.astype(jnp.float32)
+        red = tuple(range(h.ndim - 1))
+        use_batch_stats = train or self.is_initializing()
+        if use_batch_stats:
+            if mask is not None:
+                m = mask[..., None].astype(jnp.float32)
+                cnt = jnp.maximum(m.sum(axis=red), 1.0)
+                mean = (hf * m).sum(axis=red) / cnt
+                var = (jnp.square(hf - mean) * m).sum(axis=red) / cnt
+            else:
+                mean = hf.mean(axis=red)
+                var = hf.var(axis=red)
+            if not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
+                ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (hf - mean) * jax.lax.rsqrt(var + eps) * w + b
+        return y.astype(h.dtype)

@@ -252,18 +252,29 @@ class Trainer:
         feats = feats.astype(self.compute_dtype)
         rngs = {"dropout": rng, "specaug": jax.random.fold_in(rng, 1)}
 
+        # mutable collections (BatchNorm running stats etc.) update in train
+        # mode; eval consumes them frozen (reference BatchNorm semantics)
+        mutable = list(model_state) if (train and model_state) else False
+
         def fwd(model_params, feats):
-            return self.model.apply(
+            out = self.model.apply(
                 {"params": model_params, **model_state},
                 feats,
                 flen,
                 train=train,
                 rngs=rngs if train else None,
+                mutable=mutable,
             )
+            if mutable:
+                (em, elen), new_state = out
+            else:
+                em, elen = out
+                new_state = model_state
+            return em, elen, new_state
 
         if self.cfg.remat and train:
             fwd = jax.checkpoint(fwd)
-        em, elen = fwd(model_params, feats)
+        em, elen, new_state = fwd(model_params, feats)
         em = em.astype(jnp.float32)
         losses = self.criterion.apply(
             {"params": crit_params},
@@ -275,7 +286,7 @@ class Trainer:
         )
         rm = batch["row_mask"]
         loss = jnp.sum(losses * rm) / jnp.maximum(jnp.sum(rm), 1.0)
-        return loss, (em, elen)
+        return loss, (em, elen, new_state)
 
     def _make_train_step(self):
         cfg = self.cfg
@@ -288,7 +299,7 @@ class Trainer:
                 )
                 return loss * amp_scale, (loss, aux)
 
-            (_, (loss, (em, elen))), grads = jax.value_and_grad(
+            (_, (loss, (em, elen, new_state))), grads = jax.value_and_grad(
                 scaled_loss, argnums=(0, 1), has_aux=True
             )(model_params, crit_params)
             inv = 1.0 / amp_scale
@@ -314,10 +325,15 @@ class Trainer:
             model_params2 = optax.apply_updates(model_params, upd)
             updc, crit_opt2 = self.crit_tx.update(g_crit, crit_opt, crit_params)
             crit_params2 = optax.apply_updates(crit_params, updc)
+            # reject state updates from non-finite steps (AMP retry keeps
+            # the old running stats, mirroring the rejected param update)
+            model_state2 = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_state, model_state
+            )
             # viterbi for train meters
             vit, vit_len = self._viterbi(crit_params, em, elen)
-            return (model_params2, crit_params2, net_opt2, crit_opt2, loss,
-                    finite, vit, vit_len)
+            return (model_params2, crit_params2, model_state2, net_opt2,
+                    crit_opt2, loss, finite, vit, vit_len)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -330,7 +346,7 @@ class Trainer:
             in_shardings=(None, None, None, None, None,
                           {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")},
                           rep, rep, rep, rep, rep),
-            donate_argnums=(0, 1, 3, 4),
+            donate_argnums=(0, 1, 2, 3, 4),
         )
 
     def _viterbi(self, crit_params, em, elen):
@@ -350,7 +366,7 @@ class Trainer:
 
     def _make_eval_step(self):
         def step(model_params, crit_params, model_state, batch):
-            loss, (em, elen) = self._loss_fn(
+            loss, (em, elen, _) = self._loss_fn(
                 model_params, crit_params, model_state, batch,
                 jax.random.PRNGKey(0), False, False,
             )
@@ -486,7 +502,8 @@ class Trainer:
                     and self.updates >= cfg.saug_start_update
                 )
                 batch, sb = self._prep(batch)
-                (self.model_params, self.crit_params, self.net_opt_state,
+                (self.model_params, self.crit_params, self.model_state,
+                 self.net_opt_state,
                  self.crit_opt_state, loss, finite, vit, elen) = self._train_step(
                     self.model_params, self.crit_params, self.model_state,
                     self.net_opt_state, self.crit_opt_state, sb, k,
