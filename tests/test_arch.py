@@ -59,6 +59,37 @@ def test_tds_arch():
     assert y.shape == (2, 32, 29)
 
 
+def test_tds_layout_fusion_equivalence():
+    """A fused (B,T,C*F)-layout TDS chain must match the stored-layout chain
+    exactly in math (same params, per-frame LN): the fused path's in-layout
+    conv (Conv2D data_layout='ntcf') and boundary conversions are pure
+    layout ops."""
+    from wav2letter_tpu.models import layers as L
+
+    c, w, f, rpad = 6, 5, 10, 2
+    rng = np.random.RandomState(3)
+    B, T = 2, 17
+    x = jnp.asarray(rng.randn(B, c, f, T).astype(np.float32))
+
+    class Chain(L.nn.Module):
+        fused: bool
+
+        @L.nn.compact
+        def __call__(self, x):
+            il = ("ncft", "btd") if self.fused else ("ncft", "ncft")
+            ol = ("btd", "ncft") if self.fused else ("ncft", "ncft")
+            for i in range(2):
+                x = L.TDSBlock(c, w, f, 0.0, 0, rpad, False,
+                               in_layout=il[i], out_layout=ol[i],
+                               name=f"b{i}")(x)
+            return x
+
+    p = Chain(fused=False).init(jax.random.PRNGKey(0), x)
+    y0 = Chain(fused=False).apply(p, x)
+    y1 = Chain(fused=True).apply(p, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+
 def test_transformer_with_mask():
     lines = [
         "V -1 1 40 0",
@@ -79,11 +110,11 @@ def test_rel_shift_matches_gather(T, bptt):
     from wav2letter_tpu.models.transformer import _rel_shift
 
     rng = np.random.RandomState(T * 100 + bptt)
-    qp = jnp.asarray(rng.randn(2, 3, T, 2 * bptt - 1).astype(np.float32))
+    qp = jnp.asarray(rng.randn(2, 3, T, 2 * bptt).astype(np.float32))
 
     def gather_ref(a):
-        rel = np.arange(T)[:, None] - np.arange(T)[None, :]
-        rel = np.clip(rel, -(bptt - 1), bptt - 1) + bptt - 1
+        rel = np.arange(T)[None, :] - np.arange(T)[:, None]  # j - i
+        rel = rel + bptt
         return a[..., jnp.asarray(np.arange(T)[:, None]), jnp.asarray(rel)]
 
     got = jax.jit(lambda a: _rel_shift(a, T, bptt))(qp)
@@ -93,6 +124,39 @@ def test_rel_shift_matches_gather(T, bptt):
     g1 = jax.grad(lambda a: jnp.sum(jnp.sin(_rel_shift(a, T, bptt))))(qp)
     g2 = jax.grad(lambda a: jnp.sum(jnp.sin(gather_ref(a))))(qp)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def _upstream_rotate_bias(q, P, bptt):
+    """Numpy simulation of the upstream path (fl multiheadAttention +
+    relativePositionEmbeddingRotate, called from TransformerCPC.cpp:123-144),
+    reproducing ArrayFire column-major join/moddims/rows semantics:
+      pre   = matmulNT(posEmb, q)            (2bptt, T)
+      rot   = rotate(pre)                    (2bptt+T-1, T)
+      bias  = transpose(rot.rows(bptt, bptt+T-1))
+    q (T, Dh), P (2bptt, Dh) -> (T_query, T_key)."""
+    T = q.shape[0]
+    pre = P @ q.T  # (2bptt, T)
+    d0, d1 = pre.shape
+    data = np.concatenate([pre, np.zeros((d1, d1), pre.dtype)], axis=0)
+    flat = data.flatten(order="F")[: (d0 + d1 - 1) * d1]  # AF moddims+rows
+    rot = flat.reshape((d0 + d1 - 1, d1), order="F")
+    return rot[bptt : bptt + T, :].T
+
+
+@pytest.mark.parametrize("T,bptt", [(1, 4), (3, 4), (4, 4), (6, 4), (9, 4), (16, 8)])
+def test_rel_position_bias_matches_upstream_rotate(T, bptt):
+    """_rel_position_bias must equal the upstream rotate-trick result for
+    every T — including T > bptt, where out-of-window positions get ZERO
+    bias (not a clamped one)."""
+    from wav2letter_tpu.models.transformer import _rel_position_bias
+
+    rng = np.random.RandomState(T * 10 + bptt)
+    Dh = 5
+    q = rng.randn(T, Dh).astype(np.float32)
+    P = rng.randn(2 * bptt, Dh).astype(np.float32)
+    want = _upstream_rotate_bias(q, P, bptt)
+    got = _rel_position_bias(jnp.asarray(q)[None, None], jnp.asarray(P), bptt)
+    np.testing.assert_allclose(np.asarray(got)[0, 0], want, atol=1e-5)
 
 
 def test_residual_block():

@@ -496,9 +496,11 @@ class ArchSequential(nn.Module):
                 T = x.shape[-2]  # transformer layout (…, T, C)
                 valid = jnp.ceil(pad_frac * T).astype(jnp.int32)
                 mask = jnp.arange(T)[None, :] < valid[:, None]  # (B, T)
-                # broadcast mask to x's leading axes: x is (1, B, T, C)
+                # broadcast mask to x's leading axes: standard archs reach
+                # TR as (1, B, T, C) (RO 2 0 3 1); a (B, 1, T, C) view
+                # (V 240 -1 1 0 style) puts batch first instead.
                 if x.ndim == 4:
-                    mask = mask[None]
+                    mask = mask[:, None] if x.shape[1] == 1 else mask[None]
             x = L._apply(mod, x, mask, train)
         return x
 

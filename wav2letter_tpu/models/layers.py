@@ -160,6 +160,11 @@ class Conv2D(nn.Module):
     groups: int = 1
     use_bias: bool = True
     wn_dim: int = -1  # AF dim for weight norm (3 = output channels) or -1
+    # activation layout: "ncft" = stored AF NCHW (default); "ntcf" = the
+    # TDS fused-chain layout (B, T, C, F) — the conv runs in place via
+    # dimension numbers, so chained blocks avoid full-activation transposes.
+    # Params are layout-independent (same OIHW kernel either way).
+    data_layout: str = "ncft"
 
     def _pads(self, n_w: int, n_h: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
         def same(n, k, s, d):
@@ -168,7 +173,10 @@ class Conv2D(nn.Module):
             total = max(0, (out - 1) * s + eff - n)
             return (total // 2, total - total // 2)
 
-        pw = same(n_w, self.wx, self.sx, self.dx) if self.px == -1 else (self.px, self.px)
+        if isinstance(self.px, tuple):
+            pw = self.px
+        else:
+            pw = same(n_w, self.wx, self.sx, self.dx) if self.px == -1 else (self.px, self.px)
         ph = same(n_h, self.wy, self.sy, self.dy) if self.py == -1 else (self.py, self.py)
         return pw, ph
 
@@ -193,14 +201,20 @@ class Conv2D(nn.Module):
             w = g * v / norm
         else:
             w = self.param("weight", _kaiming_normal, shape, fan_in)
-        pw, ph = self._pads(x.shape[3], x.shape[2])
+        if self.data_layout == "ntcf":
+            # x is (B, T, C, F): N=0, W(time)=1, C=2, H(freq)=3
+            pw, ph = self._pads(x.shape[1], x.shape[3])
+            dn = ("NWCH", "OIHW", "NWCH")
+        else:
+            pw, ph = self._pads(x.shape[3], x.shape[2])
+            dn = ("NCHW", "OIHW", "NCHW")
         y = jax.lax.conv_general_dilated(
             x,
             w.astype(x.dtype),
             window_strides=(self.sy, self.sx),
             padding=(ph, pw),
             rhs_dilation=(self.dy, self.dx),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=dn,
             feature_group_count=self.groups,
         )
         if self.use_bias:
@@ -210,7 +224,9 @@ class Conv2D(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.out_ch,),
             )
-            y = y + b.astype(y.dtype)[None, :, None, None]
+            bb = b.astype(y.dtype)
+            y = y + (bb[None, None, :, None] if self.data_layout == "ntcf"
+                     else bb[None, :, None, None])
         return y
 
 
@@ -516,13 +532,13 @@ class TDSBlock(nn.Module):
             pads = (w - 1 - self.right_pad, self.right_pad)
         else:
             pads = ((w - 1) // 2, w - 1 - (w - 1) // 2)
-        conv = Conv2D(c, c, w, 1, 1, 1, 0, 0, name="conv")
         inner = self.inner_linear_dim or (c * f)
         fused = not self.lnorm_include_time and (
             self.in_layout == "btd" or self.out_layout == "btd"
         )
 
         if not fused:
+            conv = Conv2D(c, c, w, 1, 1, 1, 0, 0, name="conv")
             ln_dims = (0, 1, 2) if self.lnorm_include_time else (1, 2)
             xp = jnp.pad(x, [(0, 0), (0, 0), (0, 0), pads])
             y = jnp.maximum(conv(xp), 0)
@@ -539,19 +555,21 @@ class TDSBlock(nn.Module):
             return LayerNorm(ln_dims, name="ln2")(x + z)
 
         # ---- fused (B, T, C*F) path; identical math (per-frame LN) ----
+        # the time conv runs IN the fused layout via dimension numbers
+        # (Conv2D data_layout="ntcf" on the (B,T,C,F) view) — no
+        # full-activation transposes anywhere in a fused chain.
+        conv = Conv2D(c, c, w, 1, 1, 1, pads, 0, name="conv",
+                      data_layout="ntcf")
         if self.in_layout == "ncft":
             B, C, F, T = x.shape
-            xc = x  # conv input already in layout
             z = x.transpose(0, 3, 1, 2).reshape(B, T, C * F)
         else:
             B, T = x.shape[0], x.shape[1]
             z = x
-            xc = x.reshape(B, T, c, f).transpose(0, 2, 3, 1)
-        xp = jnp.pad(xc, [(0, 0), (0, 0), (0, 0), pads])
-        y = jnp.maximum(conv(xp), 0)
+        z4 = z.reshape(B, T, c, f)
+        y = jnp.maximum(conv(z4), 0)
         y = Dropout(self.dropout, name="do1")(y, train=train)
-        yz = y.transpose(0, 3, 1, 2).reshape(B, T, c * f)
-        z = LayerNorm((0,), name="ln1")(z + yz)
+        z = LayerNorm((0,), name="ln1")(z + y.reshape(B, T, c * f))
         h = Linear(c * f, inner, name="lin1")(z)
         h = jnp.maximum(h, 0)
         h = Dropout(self.dropout, name="do2")(h, train=train)

@@ -3,9 +3,10 @@
 Semantics match the reference's in-repo fork ``cpc/TransformerCPC.cpp``:
   * wq/wk/wv: modelDim -> headDim*nHeads, init U(±0.707·sqrt(6/(in+out)));
     q scaled by 1/sqrt(headDim).
-  * relative position embedding: param (2·bptt-1, headDim) added to attention
-    scores as a Transformer-XL-style bias over clamped relative offsets
-    (``TransformerCPC.cpp:118-123``).
+  * relative position embedding: param (2·bptt, headDim) added to attention
+    scores exactly as upstream's rotate trick does — bias[i,j] =
+    q_i·P[(j-i)+bptt], zero beyond ±bptt (``TransformerCPC.cpp:123-127``;
+    see ``_rel_position_bias``).
   * pad mask: log(valid) added to scores (``:135-143``).
   * layerdrop: whole-layer Bernoulli scale f∈{0,1} (``:168-171``).
   * preLN variant (reference ``preLN_``): h = f·LN1(attn(x)) + x;
@@ -68,41 +69,48 @@ class TFLinear(nn.Module):
 
 
 def _rel_shift(qp: Array, T: int, bptt: int) -> Array:
-    """Transformer-XL relative shift: qp (..., T, 2·bptt-1) -> (..., T, T)
-    with out[..., i, j] = qp[..., i, (i - j) + bptt - 1], for T <= bptt.
+    """Transformer-XL relative shift: qp (..., T, 2·bptt) -> (..., T, T)
+    with out[..., i, j] = qp[..., i, (j - i) + bptt], for T <= bptt.
 
     Pure slice/pad/reshape — no gather. Derivation: slice the used window
-    B = qp[..., :, bptt-T : bptt+T-1] (width 2T-1), flip the last axis so
-    out[i, j] = B'[i, j - i + T - 1], then realize the per-row -1 shift by
+    B = qp[..., :, bptt-T+1 : bptt+T] (width 2T-1) so that
+    out[i, j] = B[i, j - i + T - 1], then realize the per-row -i shift by
     flattening, dropping the first T-1 elements, and reshaping to rows of
     stride 2T-2 (out[i, j] = flat[i·(2T-2) + j]).
     """
     if T == 1:
-        return qp[..., bptt - 1 : bptt]
-    b = qp[..., bptt - T : bptt + T - 1]  # (..., T, 2T-1)
-    b = jnp.flip(b, axis=-1)  # b[i, k] = qp[i, bptt+T-2-k]; want k = j - i + T - 1
+        return qp[..., bptt : bptt + 1]
+    b = qp[..., bptt - T + 1 : bptt + T]  # (..., T, 2T-1); b[i,k]=qp[i, k+bptt-T+1]
     lead = b.shape[:-2]
     flat = b.reshape(lead + (T * (2 * T - 1),))[..., T - 1 : T - 1 + T * (2 * T - 2)]
     return flat.reshape(lead + (T, 2 * T - 2))[..., :T]
 
 
 def _rel_position_bias(q: Array, pos_emb: Array, bptt: int) -> Array:
-    """q (..., H, T, Dh), pos_emb (2·bptt-1, Dh) -> bias (..., H, T, T).
+    """q (..., H, T, Dh), pos_emb (2·bptt, Dh) -> bias (..., H, T, T).
 
-    bias[i, j] = q_i · pos_emb[clamp(i-j, -(bptt-1), bptt-1) + bptt-1]
-    via a (T, 2bptt-1) matmul (MXU) + relative shift (layout ops only) when
-    T <= bptt (no clamping occurs there, so the shift is exact); gather
-    fallback for T > bptt where clamping makes columns repeat.
+    Upstream-exact semantics (fl multiheadAttention's
+    relativePositionEmbeddingRotate over a (2·bptt, headDim) table,
+    ``TransformerCPC.cpp:123-127`` → flashlight Functions.cpp): the rotate
+    trick computes bias[i, j] = q_i · pos_emb[(j - i) + bptt] for
+    j - i ∈ [-bptt, bptt-1] and **zero** outside that window (positions
+    further than bptt away get no bias — not a clamped one).
+
+    Realized as a (T, 2·bptt) matmul (MXU) + relative shift (layout ops
+    only) when T <= bptt (the zero region is unreachable there, so the
+    shift is exact); masked-gather fallback for T > bptt.
     """
     T = q.shape[-2]
-    qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,R)
+    qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,2bptt)
     if T <= bptt:
         return _rel_shift(qp, T, bptt)
-    rel = np.arange(T)[:, None] - np.arange(T)[None, :]  # i - j
-    rel = np.clip(rel, -(bptt - 1), bptt - 1) + bptt - 1  # (T,T) in [0,R)
-    # advanced-index gather along the last axis: out[..., i, j] = qp[..., i, rel[i, j]]
+    rel = np.arange(T)[None, :] - np.arange(T)[:, None]  # j - i
+    valid = (rel >= -bptt) & (rel <= bptt - 1)  # outside the table -> 0 bias
+    idx = np.clip(rel + bptt, 0, 2 * bptt - 1)  # (T,T) in [0, 2bptt)
+    # advanced-index gather along the last axis: out[..., i, j] = qp[..., i, idx[i, j]]
     i_idx = jnp.asarray(np.arange(T)[:, None])
-    return qp[..., i_idx, jnp.asarray(rel)]
+    out = qp[..., i_idx, jnp.asarray(idx)]
+    return jnp.where(jnp.asarray(valid), out, jnp.zeros((), out.dtype))
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -137,7 +145,7 @@ class MultiHeadSelfAttention(nn.Module):
             pos_emb = self.param(
                 "pos_emb",
                 lambda key, s: jax.random.uniform(key, s, jnp.float32, -0.1, 0.1),
-                (2 * self.bptt - 1, Dh),
+                (2 * self.bptt, Dh),
             )
             scores = scores + _rel_position_bias(q, pos_emb, self.bptt)
         neg = jnp.asarray(-1e30, scores.dtype)

@@ -185,8 +185,9 @@ class SlimIPLTrainer(Trainer):
             lr_crit = self.crit_sched(self.updates, self.epoch)
             rng, k = jax.random.split(rng)
             _, sb = self._prep(batch)
-            (self.model_params, self.crit_params, self.net_opt_state,
-             self.crit_opt_state, loss, finite, vit, vlen) = self._train_step(
+            (self.model_params, self.crit_params, self.model_state,
+             self.net_opt_state, self.crit_opt_state,
+             loss, finite, vit, vlen) = self._train_step(
                 self.model_params, self.crit_params, self.model_state,
                 self.net_opt_state, self.crit_opt_state, sb, k,
                 jnp.asarray(lr, jnp.float32), jnp.asarray(lr_crit, jnp.float32),
