@@ -1,0 +1,127 @@
+"""On-device HLO-category profile of the bench training step.
+
+Runs a few flagship-bench training steps under ``jax.profiler.trace`` and
+prints per-HLO-category totals (ms, GB/s-or-TF/s where derivable) parsed out
+of the xplane via xprof's ``hlo_stats`` converter. This is the tool behind
+BENCH.md's profile tables.
+
+Usage:  python tools/tpu_profile.py [out.csv]
+Env:    BENCH_MODEL/BENCH_BATCH/BENCH_SECS as for bench.py.
+"""
+
+import csv
+import glob
+import io
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step():
+    """Replicates bench.py's jitted full training step + inputs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wav2letter_tpu.features import FeatureParams, Featurizer
+    from wav2letter_tpu.ops.ctc import ctc_loss
+    from __graft_entry__ import _build_model
+
+    n_feat, n_label = 80, 9998
+    which = os.environ.get("BENCH_MODEL", "tds")
+    if which == "transformer":
+        from wav2letter_tpu.models.arch import build_arch_module
+
+        arch = "/root/reference/recipes/sota/2019/am_arch/am_transformer_ctc.arch"
+        model = build_arch_module(arch, n_feat, n_label)
+    else:
+        model = _build_model(n_feat, n_label)
+    featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
+    tx = optax.sgd(1e-3, momentum=0.9)
+
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    S = int(16000 * float(os.environ.get("BENCH_SECS", "15")))
+    U = 160
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)), jnp.asarray([128]))
+    opt_state = tx.init(params)
+
+    audio = jax.random.normal(rng, (B, S)) * 0.1
+    audio_len = jnp.full((B,), S, jnp.int32)
+    targets = jax.random.randint(rng, (B, U), 0, n_label - 1)
+    target_len = jnp.full((B,), U, jnp.int32)
+
+    @jax.jit
+    def step(p, o, au, alen, tg, tlen):
+        def loss_fn(p):
+            feats, flen = featurizer(au, alen)
+            feats = feats.astype(jnp.bfloat16)
+            em, elen = model.apply(p, feats, flen)
+            return ctc_loss(em.astype(jnp.float32), tg, elen, tlen).mean() / 1000.0
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    args = (params, opt_state, audio, audio_len, targets, target_len)
+    return step, args
+
+
+def main():
+    import jax
+
+    step, (params, opt_state, *rest) = build_step()
+    # warm up / compile
+    params, opt_state, l = step(params, opt_state, *rest)
+    float(l)
+    tdir = tempfile.mkdtemp(prefix="tpuprof_")
+    with jax.profiler.trace(tdir):
+        for _ in range(3):
+            params, opt_state, l = step(params, opt_state, *rest)
+        float(l)
+
+    xs = glob.glob(tdir + "/**/*.xplane.pb", recursive=True)
+    assert xs, f"no xplane under {tdir}"
+    from xprof.convert import raw_to_tool_data as r2t
+
+    data, _ = r2t.xspace_to_tool_data(xs, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    gviz = json.loads(data)
+    cols = [c["id"] for c in gviz["cols"]]
+    rows = [
+        {cols[i]: (cell or {}).get("v") for i, cell in enumerate(r["c"])}
+        for r in gviz["rows"]
+    ]
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(rows, f, indent=1)
+    tkey = next(
+        (k for k in cols if "time" in k.lower() and "total" in k.lower()), None
+    ) or next(k for k in cols if "time" in k.lower())
+    agg = defaultdict(lambda: [0.0, 0.0])  # cat -> [occ_us, flops]
+    name_agg = defaultdict(float)
+    for r in rows:
+        cat = r.get("category") or "?"
+        t = float(r.get(tkey) or 0)
+        agg[cat][0] += t
+        nm = str(r.get("hlo_op_expression") or r.get("hlo_op_name") or "")[:110]
+        name_agg[(cat, nm)] += t
+    nsteps = 3.0
+    total = sum(v[0] for v in agg.values())
+    print(f"\n== HLO categories (per step, {len(rows)} ops, total {total/1e3/nsteps:.2f} ms) ==")
+    for cat, (t, _) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {cat:<40s} {t/1e3/nsteps:8.2f} ms  {100*t/total:5.1f}%")
+    print("\n== top 15 ops ==")
+    for (cat, nm), t in sorted(name_agg.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {t/1e3/nsteps:8.2f} ms  [{cat}] {nm}")
+    print("\ncolumns available:", list(rows[0].keys()) if rows else None)
+
+
+if __name__ == "__main__":
+    main()
