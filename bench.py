@@ -45,6 +45,15 @@ def main():
         arch = "/root/reference/recipes/sota/2019/am_arch/am_transformer_ctc.arch"
         model = build_arch_module(arch, n_feat, n_label)
         metric = "train_throughput_transformer_ctc_323M"
+    elif which == "conv_glu":
+        # the conv_glu/librispeech GLU stack (letter targets, CTC here;
+        # the recipe's ASG adds a 29x29 transition term — negligible FLOPs)
+        from wav2letter_tpu.models.arch import build_arch_module
+
+        n_label = 30
+        arch = "/root/reference/recipes/conv_glu/librispeech/network.arch"
+        model = build_arch_module(arch, n_feat, n_label)
+        metric = "train_throughput_conv_glu_209M"
     else:
         model = _build_model(n_feat, n_label)
         metric = "train_throughput_tds_ctc_115M"

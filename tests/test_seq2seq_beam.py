@@ -174,3 +174,44 @@ def test_transformer_beam_decodes():
         res = dec.decode()[0]
         want = [int(t) for t in targets[b][: tlen[b]]]
         assert res.tokens == want, f"b={b}: {res.tokens} != {want}"
+
+
+def test_hard_soft_selection_pruning(overfit):
+    """--hardselection/--softselection (seq2seq_tds decode cfgs): with
+    generous thresholds the result is unchanged; tight thresholds still
+    decode the overfit target (pruning only trims the candidate tail)."""
+    crit, params, em, elen, targets, tlen = overfit
+    b = 2
+    fn, init = make_s2s_update_fn(crit, params["params"], em[b], int(elen[b]))
+    want = [int(t) for t in targets[b][: tlen[b]]]
+    base = LexiconFreeSeq2SeqDecoder(
+        DecoderOptions(beam_size=4, beam_threshold=50.0,
+                       criterion_type=CriterionType.S2S),
+        EOS, fn, init, max_output_len=10,
+    ).decode()[0]
+    for hard, soft in [(1.5, 10.0), (1.0, 2.0), (float("inf"), 0.5)]:
+        res = LexiconFreeSeq2SeqDecoder(
+            DecoderOptions(beam_size=4, beam_threshold=50.0,
+                           criterion_type=CriterionType.S2S),
+            EOS, fn, init, max_output_len=10,
+            hard_selection=hard, soft_selection=soft,
+        ).decode()[0]
+        assert res.tokens == want
+    assert base.tokens == want
+
+
+def test_soft_selection_prunes_beam(overfit):
+    """A pathologically tight soft window must leave <= 1 surviving
+    candidate per step (greedy path), i.e. selection actually prunes."""
+    crit, params, em, elen, targets, tlen = overfit
+    b = 0
+    fn, init = make_s2s_update_fn(crit, params["params"], em[b], int(elen[b]))
+    dec = LexiconFreeSeq2SeqDecoder(
+        DecoderOptions(beam_size=8, beam_threshold=1e9,
+                       criterion_type=CriterionType.S2S),
+        EOS, fn, init, max_output_len=10, soft_selection=1e-9,
+    )
+    res = dec.decode()[0]
+    # greedy path on the overfit model still yields the target
+    want = [int(t) for t in targets[b][: tlen[b]]]
+    assert res.tokens == want

@@ -38,6 +38,12 @@ def build_step():
 
         arch = "/root/reference/recipes/sota/2019/am_arch/am_transformer_ctc.arch"
         model = build_arch_module(arch, n_feat, n_label)
+    elif which == "conv_glu":
+        from wav2letter_tpu.models.arch import build_arch_module
+
+        n_label = 30
+        arch = "/root/reference/recipes/conv_glu/librispeech/network.arch"
+        model = build_arch_module(arch, n_feat, n_label)
     else:
         model = _build_model(n_feat, n_label)
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))

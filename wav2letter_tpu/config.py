@@ -208,6 +208,9 @@ _DEFS: List[FlagDef] = [
     _f("smearing", str, "none", "none|max|logadd"),
     _f("smoothingtemperature", float, 1.0),
     _f("attentionthreshold", float, float("inf")),
+    # TDS-era s2s candidate pruning (seq2seq_tds decode cfgs:18-19)
+    _f("hardselection", float, float("inf")),
+    _f("softselection", float, float("inf")),
     _f("nthread_decoder", int, 1),
     _f("nthread_decoder_am_forward", int, 1),
     _f("emission_queue_size", int, 3000),

@@ -87,6 +87,8 @@ class Seq2SeqDecoderBase:
         lm: Optional[LM] = None,
         max_output_len: int = 200,
         attention_threshold: float = float("inf"),
+        hard_selection: float = float("inf"),
+        soft_selection: float = float("inf"),
     ):
         self.opts = opts
         self.eos = eos_idx
@@ -95,6 +97,14 @@ class Seq2SeqDecoderBase:
         self.lm = lm or ZeroLM()
         self.max_output_len = max_output_len
         self.attention_threshold = attention_threshold
+        # TDS-era candidate pruning (--hardselection/--softselection,
+        # seq2seq_tds decode cfgs, e.g. decode_ngram_other.cfg:18-19; the
+        # implementation lives in the unmounted wav2letter-v0.2 decoder —
+        # documented interpretation): per step, HARD caps the candidate
+        # list at beam_size*hard_selection entries; SOFT drops candidates
+        # scoring more than soft_selection below the step's best.
+        self.hard_selection = hard_selection
+        self.soft_selection = soft_selection
 
     def _lm_extend(self, hyp: _S2SHyp, tok: int) -> Tuple[object, float]:
         if self.opts.lm_weight == 0.0:
@@ -173,6 +183,12 @@ class Seq2SeqDecoderBase:
                 break
             cands.sort(key=lambda h: -h.score)
             best = cands[0].score
+            if _math.isfinite(self.hard_selection):
+                cands = cands[: max(1, int(K * self.hard_selection))]
+            if _math.isfinite(self.soft_selection):
+                cands = [
+                    h for h in cands if h.score >= best - self.soft_selection
+                ]
             beam = [
                 h for h in cands[:K] if h.score >= best - opts.beam_threshold
             ]
@@ -211,11 +227,11 @@ class LexiconSeq2SeqDecoder(Seq2SeqDecoderBase):
     """Trie-constrained s2s beam with word-level LM."""
 
     def __init__(self, opts, trie: Trie, lm, eos_idx, update_fn, init_state_fn,
-                 word_sep_idx: int = -1, max_output_len: int = 200):
+                 word_sep_idx: int = -1, max_output_len: int = 200, **kw):
         self.trie = trie
         self.word_sep = word_sep_idx
         super().__init__(opts, eos_idx, update_fn, init_state_fn, lm,
-                         max_output_len)
+                         max_output_len, **kw)
 
     def _token_extend(self, hyp, tok):
         node = hyp.node or self.trie.root

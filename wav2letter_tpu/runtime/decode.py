@@ -272,15 +272,20 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     ev.s2s_criterion, ev.crit_params, em, em.shape[0]
                 )
                 eos = ev.n_classes - 2
+                prune_kw = dict(
+                    attention_threshold=ecfg.attentionthreshold,
+                    hard_selection=ecfg.hardselection,
+                    soft_selection=ecfg.softselection,
+                )
                 if s2s_trie is not None:
                     dec = LexiconSeq2SeqDecoder(
                         s2s_opts, s2s_trie, s2s_lm, eos, fn, init,
-                        max_output_len=ecfg.maxdecoderoutputlen,
+                        max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
                     )
                 else:
                     dec = LexiconFreeSeq2SeqDecoder(
                         s2s_opts, eos, fn, init, s2s_lm,
-                        max_output_len=ecfg.maxdecoderoutputlen,
+                        max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
                     )
                 results = dec.decode(n_best=50 if ecfg.isbeamdump else 1)
                 res = results[0]
