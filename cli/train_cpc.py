@@ -22,8 +22,13 @@ from wav2letter_tpu.runtime.train_cpc import CPC_DEFAULTS
 
 
 def main():
+    args = sys.argv[1:]
+    mode = "train"
+    if args and args[0] in ("train", "continue", "fork"):
+        mode = args[0]
+        args = args[1:]
     argv, cpc_flags = [], {}
-    for a in sys.argv[1:]:
+    for a in args:
         if a.startswith("--"):
             k = a[2:].split("=", 1)[0]
             if k in CPC_DEFAULTS:
@@ -42,7 +47,7 @@ def main():
     cfg = Config.from_sources(argv=argv)
     from wav2letter_tpu.runtime.train_cpc import CPCTrainer
 
-    CPCTrainer(cfg, cpc_flags=cpc_flags).run()
+    CPCTrainer(cfg, cpc_flags=cpc_flags, mode=mode).run()
 
 
 if __name__ == "__main__":

@@ -119,3 +119,64 @@ def test_cpc_joint_trainer(tmp_path):
     assert len(losses["unsup"]) >= 3
     assert len(losses["sup"]) >= 1
     assert all(np.isfinite(l) for l in losses["unsup"] + losses["sup"])
+
+
+def test_cpc_checkpoint_continue_and_pretrain(tmp_path):
+    """Checkpoint save at reportiters, continue-mode resume (updates +
+    params restored), and --pretrainmodel partial loading
+    (Train.cpp:495-503, runValAndSaveModel)."""
+    from tests.util_synth import make_dataset
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train_cpc import CPCTrainer
+
+    lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=8, seed=3)
+    enc = tmp_path / "enc.arch"
+    enc.write_text("V -1 1 NFEAT 0\nC NFEAT 32 8 4 2\nRO 2 0 3 1\nL 32 NLABEL\n")
+    ctx = tmp_path / "ctx.arch"
+    ctx.write_text("V -1 1 NFEAT 0\nRO 2 0 3 1\nL NFEAT NLABEL\n")
+    prd = tmp_path / "prd.arch"
+    prd.write_text("V -1 1 NFEAT 0\nRO 2 0 3 1\nL NFEAT NLABEL\n")
+
+    def mkcfg(it):
+        cfg = Config()
+        cfg.update(
+            dict(
+                train=lst, train2=lst, tokens=tokens, lexicon=lexicon,
+                batchsize=4, mfsc=True, filterbanks=40, criterion="ctc",
+                lr=0.01, netoptim="adam", maxgradnorm=5.0, iter=it,
+                nthread=1, pad_multiple=64, compute_dtype="float32",
+                arch=f"{enc},{ctx},{prd}", rundir=str(tmp_path),
+                runname="cpcrun", reportiters=2,
+            )
+        )
+        return cfg
+
+    fl = dict(codedim=16, contextdim=16, mutualdim=16, nnegativesamples=8,
+              maskprob=0.2, masklength=2, supdelay=2, supdates=1,
+              unsupdates=1, supwarmup=2, suphold=1)
+    tr = CPCTrainer(mkcfg(4), cpc_flags=fl)
+    tr.run()
+    ckpt_path = tmp_path / "cpcrun" / "model_last.bin"
+    assert ckpt_path.exists()
+    assert (tmp_path / "cpcrun" / "001_log").exists()
+    # supervised schedule must use supwarmup, not cfg.warmup
+    assert tr.sched_sup.warmup == 2 and tr.sched_sup.hold == 1
+
+    # continue: resumes update counter and keeps training
+    tr2 = CPCTrainer(mkcfg(6), cpc_flags=fl, mode="continue")
+    assert tr2.updates == 4
+    tr2.run()
+    assert tr2.updates == 6
+
+    # pretrainmodel: fresh trainer seeded from the checkpoint's params
+    fl3 = dict(fl, pretrainmodel=str(ckpt_path))
+    tr3 = CPCTrainer(mkcfg(2), cpc_flags=fl3)
+    assert tr3.updates == 0
+    import jax
+
+    # the continue run (tr2) overwrote model_last.bin last
+    ref = jax.tree.leaves(tr2.params["enc"])
+    got = jax.tree.leaves(tr3.params["enc"])
+    # at least one leaf must match the trained (non-init) weights exactly
+    assert any(np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(ref, got))
+    tr3.run()

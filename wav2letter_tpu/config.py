@@ -231,6 +231,7 @@ _DEPRECATED = {
     "memstepsize": None,
     "fftcachesize": None,
     "wnorm": None,
+    "fl_benchmark_mode": None,  # ArrayFire dynamic-benchmark toggle; no TPU analog
 }
 
 FLAG_DEFS: Dict[str, FlagDef] = {d.name: d for d in _DEFS}

@@ -56,16 +56,39 @@ CPC_DEFAULTS = dict(
     grad_mult_feat=1.0,
     l2_enc_pen=0.0,
     lr2=0.0,
+    # supervised-phase LR ramp (reference uses these unconditionally for the
+    # supervised branch, Train.cpp:908-916: hold=FLAGS_suphold,
+    # warmup=FLAGS_supwarmup when !pretrain)
+    supwarmup=0,
+    suphold=0,
+    # start from pretrained weights (Train.cpp:495-503 PartialLoading)
+    pretrainmodel="",
 )
 
 
 class CPCTrainer:
-    def __init__(self, cfg: Config, cpc_flags: Optional[Dict] = None):
+    def __init__(self, cfg: Config, cpc_flags: Optional[Dict] = None,
+                 mode: str = "train"):
         self.cfg = cfg
         self.fl = dict(CPC_DEFAULTS)
         if cpc_flags:
             self.fl.update(cpc_flags)
         self.updates = 0
+        self.mode = mode
+        # --- run dir & continue resolution (Train.cpp:241-327) ---
+        self.rundir = (
+            os.path.join(cfg.rundir, cfg.runname) if cfg.runname else cfg.rundir
+        )
+        self._resume = None
+        if mode == "continue" and self.rundir:
+            from .checkpoint import find_last_checkpoint, load_checkpoint
+
+            last = find_last_checkpoint(self.rundir)
+            if last:
+                self._resume = load_checkpoint(last)
+                self.updates = self._resume.updates
+        if self.rundir and jax.process_index() == 0:
+            os.makedirs(self.rundir, exist_ok=True)
 
         tokens_path = (
             os.path.join(cfg.tokensdir, cfg.tokens) if cfg.tokensdir else cfg.tokens
@@ -115,9 +138,17 @@ class CPCTrainer:
         )["params"]
 
         # --- optimizers: unsup (lr) and sup (lr2 or lr) ---
+        # the supervised branch ALWAYS ramps with --supwarmup/--suphold
+        # (Train.cpp:908-916), independent of the unsup --warmup/--hold
+        import dataclasses as _dc
+
         lr2 = float(self.fl["lr2"]) or cfg.lr
         self.sched_unsup = LRSchedule.from_config(cfg, cfg.lr)
-        self.sched_sup = LRSchedule.from_config(cfg, lr2)
+        self.sched_sup = _dc.replace(
+            LRSchedule.from_config(cfg, lr2),
+            warmup=int(self.fl["supwarmup"]),
+            hold=int(self.fl["suphold"]),
+        )
         self.tx = make_optimizer(
             cfg.netoptim, cfg.lr, cfg.momentum, cfg.weightdecay,
             cfg.adambeta1, cfg.adambeta2, cfg.optimepsilon,
@@ -129,6 +160,31 @@ class CPCTrainer:
             "cpc": self.p_cpc,
         }
         self.opt_state = self.tx.init(self.params)
+
+        # --- pretrained / resumed weights ---
+        if str(self.fl["pretrainmodel"]):
+            # partial-load matching subtrees (Train.cpp:495-503); a plain
+            # ASR checkpoint seeds the encoder+context via model_params
+            from flax import serialization as _ser
+
+            from .checkpoint import load_checkpoint as _lc
+
+            ck = _lc(str(self.fl["pretrainmodel"]))
+            src = ck.model_params or {}
+            if set(src) >= {"enc", "ctx"}:
+                for k in self.params:
+                    if k in src:
+                        self.params[k] = _ser.from_state_dict(self.params[k], src[k])
+            else:
+                self.params["enc"] = _ser.from_state_dict(self.params["enc"], src)
+        if self._resume is not None:
+            from flax import serialization as _ser
+
+            self.params = _ser.from_state_dict(self.params, self._resume.model_params)
+            if self._resume.opt_state:
+                self.opt_state = _ser.from_state_dict(
+                    self.opt_state, self._resume.opt_state
+                )
 
         self.mesh = make_mesh(MeshSpec.from_config(cfg))
         self.params = replicate(self.mesh, self.params)
@@ -288,4 +344,44 @@ class CPCTrainer:
                 )
                 losses["unsup"].append(float(loss))
             self.updates += 1
+            if cfg.reportiters > 0 and self.updates % cfg.reportiters == 0:
+                self._report(losses, lr)
+                losses = {"sup": [], "unsup": []}
+                self.save_checkpoint()
+        self.save_checkpoint()
         return losses
+
+    def _report(self, losses, lr):
+        if jax.process_index() != 0:
+            return
+        import numpy as _np
+
+        parts = [f"nupdates: {self.updates:>12d}", f"lr: {lr:09.6f}"]
+        for ph in ("unsup", "sup"):
+            if losses[ph]:
+                parts.append(f"loss-{ph}: {_np.mean(losses[ph]):10.5f}")
+        line = " | ".join(parts)
+        print(line, flush=True)
+        if self.rundir:
+            with open(os.path.join(self.rundir, "001_log"), "a") as f:
+                f.write(line + "\n")
+
+    def save_checkpoint(self):
+        """model_last.bin in the shared self-describing format (Train.cpp
+        runValAndSaveModel; CPC groups live in model_params)."""
+        if not self.rundir or jax.process_index() != 0:
+            return
+        from .checkpoint import Checkpoint, save_checkpoint
+
+        ckpt = Checkpoint(
+            config=self.cfg.serialize(),
+            epoch=0,
+            updates=self.updates,
+            model_params=self.params,
+            model_state={},
+            crit_params={},
+            opt_state=self.opt_state,
+            crit_opt_state={},
+            extra={"cpc_flags": {k: v for k, v in self.fl.items()}},
+        )
+        save_checkpoint(os.path.join(self.rundir, "model_last.bin"), ckpt)
