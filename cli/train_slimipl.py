@@ -19,8 +19,13 @@ from wav2letter_tpu.runtime.train_slimipl import SLIMIPL_DEFAULTS
 
 
 def main():
+    args = sys.argv[1:]
+    mode = "train"
+    if args and not args[0].startswith("--"):
+        mode = args[0]
+        args = args[1:]
     argv, ipl_flags = [], {}
-    for a in sys.argv[1:]:
+    for a in args:
         if a.startswith("--"):
             k = a[2:].split("=", 1)[0]
             if k in SLIMIPL_DEFAULTS:
@@ -39,7 +44,7 @@ def main():
     cfg = Config.from_sources(argv=argv)
     from wav2letter_tpu.runtime.train_slimipl import SlimIPLTrainer
 
-    SlimIPLTrainer(cfg, ipl_flags=ipl_flags).run()
+    SlimIPLTrainer(cfg, ipl_flags=ipl_flags, mode=mode).run()
 
 
 if __name__ == "__main__":

@@ -244,11 +244,13 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
-    def _loss_fn(self, model_params, crit_params, model_state, batch, rng, saug_on, train):
+    def _loss_fn(self, model_params, crit_params, model_state, batch, rng, saug_on, train,
+                 specaug="default"):
+        saug_mod = self.specaug if specaug == "default" else specaug
         feats, flen = self.featurizer(batch["audio"], batch["audio_len"])
-        if self.specaug is not None and train:
+        if saug_mod is not None and train:
             rng, k = jax.random.split(rng)
-            feats = jnp.where(saug_on, self.specaug(feats, k, flen), feats)
+            feats = jnp.where(saug_on, saug_mod(feats, k, flen), feats)
         feats = feats.astype(self.compute_dtype)
         rngs = {"dropout": rng, "specaug": jax.random.fold_in(rng, 1)}
 
@@ -288,14 +290,15 @@ class Trainer:
         loss = jnp.sum(losses * rm) / jnp.maximum(jnp.sum(rm), 1.0)
         return loss, (em, elen, new_state)
 
-    def _make_train_step(self):
+    def _make_train_step(self, specaug="default"):
         cfg = self.cfg
 
         def step(model_params, crit_params, model_state, net_opt, crit_opt,
                  batch, rng, lr, lr_crit, saug_on, amp_scale):
             def scaled_loss(mp, cp):
                 loss, aux = self._loss_fn(
-                    mp, cp, model_state, batch, rng, saug_on, True
+                    mp, cp, model_state, batch, rng, saug_on, True,
+                    specaug=specaug,
                 )
                 return loss * amp_scale, (loss, aux)
 
@@ -448,6 +451,10 @@ class Trainer:
             wers[tag] = m.wrd_edit.error_rate()
         return wers
 
+    def _ckpt_extra(self) -> Dict[str, Any]:
+        """Subclass hook: extra state persisted in the checkpoint."""
+        return {}
+
     def save(self, tag: Optional[str] = None):
         if jax.process_index() != 0 or not self.rundir:
             return
@@ -460,7 +467,7 @@ class Trainer:
             crit_params=self.crit_params,
             opt_state=self.net_opt_state,
             crit_opt_state=self.crit_opt_state,
-            extra={},
+            extra=self._ckpt_extra(),
         )
         save_checkpoint(os.path.join(self.rundir, "model_last.bin"), ckpt)
         if tag:
