@@ -241,3 +241,47 @@ def test_remat_flag(tmp_path):
     tr = Trainer(cfg)
     tr.run()
     assert tr.updates == 3
+
+
+def test_commonvoice_prep(tmp_path):
+    # fake CommonVoice tree: clips/*.wav (8k, stereo-free) + split tsv
+    clips = tmp_path / "clips"
+    clips.mkdir()
+    write_wav(str(clips / "a.wav"), n_samples=800, sr=8000)
+    write_wav(str(clips / "b.wav"), n_samples=800, sr=8000)
+    write_wav(str(clips / "c.wav"), n_samples=800, sr=8000)
+    tsv = tmp_path / "dev.tsv"
+    tsv.write_text(
+        "client_id\tpath\tsentence\n"
+        "spk1\ta.wav\tHello, World!\n"
+        "spk2\tb.wav\tFoo – bar’s baz…\n"
+        "spk3\tc.wav\tHas a Ø weird char\n"
+    )
+    # grapheme tokens from the raw sentences
+    toks = data_prep.make_grapheme_tokens(
+        ["Hello, World!", "Foo – bar’s baz…"], str(tmp_path / "tokens.txt")
+    )
+    assert "|" in toks and "'" in toks and "h" in toks and "," not in toks
+    out = tmp_path / "dev.lst"
+    n = data_prep.prepare_commonvoice_split(
+        str(tsv), str(clips), str(out), tokens=toks,
+        convert_dir=str(tmp_path / "conv"),
+    )
+    assert n == 2  # the Ø sentence is filtered by the token set
+    from wav2letter_tpu.data import read_list_file
+    from wav2letter_tpu.data.audio import load_audio_with_sr
+
+    s = read_list_file(str(out))
+    assert s[0].transcript == "hello world"
+    assert s[1].transcript == "foo - bar's baz"
+    # audio converted to mono 16 kHz wav
+    sr, data = load_audio_with_sr(s[0].audio_path)
+    assert sr == 16000 and len(data) == 1600
+    # frequency-ranked lexicon from the produced lst
+    lex = tmp_path / "lexicon.txt"
+    n_lex = data_prep.lexicon_from_lst(
+        str(out), str(tmp_path / "tokens.txt"), str(lex), n_best=3, min_occ=1
+    )
+    lines = lex.read_text().strip().splitlines()
+    assert n_lex == len(lines) == 3
+    assert any(l.startswith("hello h e l l o |") for l in lines)

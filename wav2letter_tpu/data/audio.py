@@ -30,6 +30,21 @@ def load_audio(path: str, expected_sr: int = 16000) -> np.ndarray:
     raise ValueError(f"unsupported audio format: {path}")
 
 
+def load_audio_with_sr(path: str) -> Tuple[int, np.ndarray]:
+    """Like load_audio but returns (sample_rate, mono float32 samples)
+    without asserting a rate (used by conversion tools)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return 16000, np.load(path).astype(np.float32).reshape(-1)
+    if ext == ".wav":
+        return _load_wav(path)
+    if ext == ".flac":
+        from ..ops.native import flac_decode
+
+        return flac_decode(path)
+    raise ValueError(f"unsupported audio format: {path}")
+
+
 def _load_wav(path: str) -> Tuple[int, np.ndarray]:
     from scipy.io import wavfile
 

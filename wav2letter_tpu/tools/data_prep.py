@@ -463,3 +463,177 @@ def make_token_lexicon_from_corpus(
         for w in sorted(words):
             f.write(f"{w}\t{' '.join(list(w))} |\n")
     return toks, len(words)
+
+
+# ---------------------------------------------------------------------------
+# CommonVoice / VoxPopuli (joint_training_vox_populi/prepare_data/*.py)
+# ---------------------------------------------------------------------------
+
+# punctuation stripped from CommonVoice sentences
+# (common_voice_to_wav2letter.py:17-18)
+CV_PUNCTUATION = (
+    "!\"#$%&()*+,./:;<=>?@[\\]^_`{|}~" + "¡¿"  # string.punctuation sans ' -
+    + "–…»“«·—’”„"
+)
+# characters mapped before tokenization (get_tokens.py REPLACE_SET)
+CV_REPLACE = {"–": "-", "`": "'", "’": "'"}
+
+
+def cv_norm_text(
+    text: str,
+    char_set: Optional[Iterable[str]] = None,
+    replace_set: Optional[Dict[str, str]] = None,
+    del_set: str = CV_PUNCTUATION,
+) -> Tuple[str, bool]:
+    """Normalize a CommonVoice sentence (norm_text,
+    common_voice_to_wav2letter.py:59-81): lowercase, apply replacements,
+    delete punctuation; invalid if any remaining char is outside
+    ``char_set``."""
+    text = text.lower()
+    for c, v in (replace_set or {}).items():
+        text = text.replace(c, v)
+    for c in del_set or "":
+        text = text.replace(c, "")
+    valid = True
+    if char_set is not None:
+        cs = set(char_set)
+        valid = all(c in cs for c in text.replace(" ", ""))
+    return text, valid
+
+
+def read_commonvoice_tsv(path_tsv: str) -> List[Dict[str, str]]:
+    """CommonVoice ``.tsv`` rows -> [{speaker_id, local_path, text}]
+    (get_base_data_from_csv, common_voice_to_wav2letter.py:47-57)."""
+    import csv
+
+    out = []
+    with open(path_tsv, encoding="utf-8") as f:
+        for row in csv.DictReader(f, dialect="excel-tab"):
+            out.append({
+                "speaker_id": row["client_id"],
+                "local_path": row["path"],
+                "text": row["sentence"],
+            })
+    return out
+
+
+def convert_to_w2l_audio(in_path: str, out_path: str, target_sr: int = 16000):
+    """Mono 16 kHz conversion (to_wav2letterFormat,
+    common_voice_to_wav2letter.py:32-45): mean-downmix, polyphase
+    resample, clamp to [-1, 1]. Writes 16-bit WAV (sox-free; the
+    reference emits FLAC via torchaudio)."""
+    import numpy as np
+
+    from ..data.audio import load_audio_with_sr
+
+    sr, data = load_audio_with_sr(in_path)
+    if sr != target_sr:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(int(sr), int(target_sr))
+        data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
+    data = np.clip(data, -1.0, 1.0)
+    from scipy.io import wavfile
+
+    wavfile.write(out_path, target_sr, (data * 32767.0).astype(np.int16))
+
+
+def prepare_commonvoice_split(
+    path_tsv: str,
+    audio_dir: str,
+    out_lst: str,
+    tokens: Optional[Sequence[str]] = None,
+    filter_ids: Optional[Iterable[str]] = None,
+    convert_dir: Optional[str] = None,
+    file_extension: Optional[str] = None,
+) -> int:
+    """CommonVoice TSV + clips dir -> ``.lst``
+    (common_voice_to_wav2letter.py main flow :178-199): normalize text
+    against the token set, optionally keep only ``filter_ids``, optionally
+    convert audio to mono-16k into ``convert_dir``. Returns #utterances."""
+    rows = read_commonvoice_tsv(path_tsv)
+    keep = set(filter_ids) if filter_ids is not None else None
+    samples = []
+    for r in rows:
+        p = os.path.join(audio_dir, r["local_path"])
+        if file_extension:
+            p = os.path.splitext(p)[0] + file_extension
+        if not os.path.isfile(p):
+            continue
+        sid = os.path.splitext(os.path.basename(p))[0]
+        if keep is not None and sid not in keep:
+            continue
+        text, valid = cv_norm_text(r["text"], char_set=tokens,
+                                   replace_set=CV_REPLACE)
+        if tokens is not None and not valid:
+            continue
+        if convert_dir:
+            os.makedirs(convert_dir, exist_ok=True)
+            outp = os.path.join(convert_dir, sid + ".wav")
+            convert_to_w2l_audio(p, outp)
+            p = outp
+        samples.append(ListSample(sid, os.path.abspath(p),
+                                  audio_duration_ms(p), text))
+    write_list_file(out_lst, samples)
+    return len(samples)
+
+
+def make_grapheme_tokens(
+    texts: Iterable[str], out_path: str, eow_token: str = "|"
+) -> List[str]:
+    """Grapheme token inventory from raw sentences (get_tokens.py:36-44):
+    lowercase, apply CV_REPLACE, drop punctuation/digits, one char per
+    line + the end-of-word token."""
+    chars: set = set()
+    for t in texts:
+        t, _ = cv_norm_text(t, replace_set=CV_REPLACE, del_set="")
+        chars.update(t.replace(" ", ""))
+    remove = set(CV_PUNCTUATION + "…»" + "1234567890–")
+    toks = sorted(chars - remove)
+    with open(out_path, "w") as f:
+        for t in toks:
+            f.write(t + "\n")
+        f.write(eow_token + "\n")
+    return toks + [eow_token]
+
+
+def lexicon_from_lst(
+    input_path: str,
+    tokens_path: str,
+    out_path: str,
+    n_best: int = 10000,
+    min_occ: int = 0,
+    eow_token: str = "|",
+    old_lexicon: Optional[str] = None,
+    raw_text: bool = False,
+) -> int:
+    """Frequency-ranked grapheme lexicon from a ``.lst`` (or raw-text)
+    file (make_lexicon.py:93-110): keep the ``n_best`` most frequent
+    words with >= ``min_occ`` occurrences whose chars are all in the
+    token set; spell ``word -> c h a r s |``. Merges ``old_lexicon``
+    words if given. Returns #entries written."""
+    with open(tokens_path) as f:
+        toks = {x.strip() for x in f if x.strip() and x.strip() != eow_token}
+    counts: Dict[str, int] = {}
+    with open(input_path) as f:
+        for line in f:
+            words = line.split() if raw_text else line.split()[3:]
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(
+        ((w, c) for w, c in counts.items() if c >= min_occ),
+        key=lambda x: x[1], reverse=True,
+    )
+    words = {w for w, _ in ranked[:n_best]}
+    if old_lexicon:
+        with open(old_lexicon) as f:
+            words |= {line.split()[0] for line in f if line.strip()}
+    n = 0
+    with open(out_path, "w") as f:
+        for w in sorted(words):
+            if all(c in toks for c in w):
+                f.write(f"{w} {' '.join(list(w))} {eow_token} \n")
+                n += 1
+    return n
