@@ -19,6 +19,7 @@ ARCHS = [
     ("recipes/streaming_convnets/network.arch", 80, 5000, 64),
     ("recipes/transformer_ctc/network.arch", 80, 5000, 32),
     ("recipes/conformer_ctc/network.arch", 80, 5000, 32),
+    ("recipes/learnable_frontend/network.arch", 40, 40, 64),
     ("recipes/cpc/encoder.arch", 1, 512, 2048),
     ("recipes/cpc/context.arch", 512, 768, 16),
     ("recipes/cpc/predict.arch", 768, 32, 16),
