@@ -18,6 +18,8 @@ ARCHS = [
     ("recipes/seq2seq_tds/network.arch", 80, 1024, 64),
     ("recipes/streaming_convnets/network.arch", 80, 5000, 64),
     ("recipes/transformer_ctc/network.arch", 80, 5000, 32),
+    ("recipes/transformer_s2s/network.arch", 80, 512, 32),
+    ("recipes/resnet_ctc/network.arch", 80, 5000, 32),
     ("recipes/conformer_ctc/network.arch", 80, 5000, 32),
     ("recipes/learnable_frontend/network.arch", 40, 40, 64),
     ("recipes/cpc/encoder.arch", 1, 512, 2048),
