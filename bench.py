@@ -62,18 +62,32 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "32"))
     secs = float(os.environ.get("BENCH_SECS", "15"))
-    S = int(16000 * secs)
+    # BENCH_BUCKETS="5,10,15": bucketed multi-shape mode — one compiled step
+    # per duration bucket (the trainer's static-shape bucketing), batches
+    # interleaved round-robin across buckets, aggregate audio-s/s reported.
+    buckets = [
+        float(s) for s in os.environ.get("BENCH_BUCKETS", "").split(",") if s.strip()
+    ] or [secs]
     U = 160
 
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)), jnp.asarray([128]))
     opt_state = tx.init(params)
-    audio = 0.1 * jax.random.normal(rng, (B, S), jnp.float32)
-    audio_len = jnp.full((B,), S, jnp.int32)
-    target = jnp.asarray(
-        np.random.RandomState(0).randint(0, n_label - 1, (B, U)).astype(np.int32)
-    )
-    target_len = jnp.full((B,), U, jnp.int32)
+
+    def make_batch(sec):
+        s = int(16000 * sec)
+        u = max(8, int(U * sec / secs))
+        audio = 0.1 * jax.random.normal(rng, (B, s), jnp.float32)
+        audio_len = jnp.full((B,), s, jnp.int32)
+        target = jnp.asarray(
+            np.random.RandomState(0).randint(0, n_label - 1, (B, u)).astype(np.int32)
+        )
+        target_len = jnp.full((B,), u, jnp.int32)
+        return audio, audio_len, target, target_len
+
+    batches = [make_batch(sec) for sec in buckets]
+    if len(buckets) > 1:
+        metric += "_bucketed"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, audio, audio_len, target, target_len):
@@ -89,22 +103,23 @@ def main():
         params = optax.apply_updates(params, upd)
         return params, opt_state, loss
 
-    # warmup/compile; float() forces a device fetch (block_until_ready can be
-    # a no-op through tunneled backends)
-    params, opt_state, loss = step(params, opt_state, audio, audio_len, target, target_len)
-    float(loss)
+    # warmup/compile each bucket shape; float() forces a device fetch
+    # (block_until_ready can be a no-op through tunneled backends)
+    for b in batches:
+        params, opt_state, loss = step(params, opt_state, *b)
+        float(loss)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    audio_s = 0.0
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        params, opt_state, loss = step(
-            params, opt_state, audio, audio_len, target, target_len
-        )
+    for i in range(n_iters):
+        b = i % len(batches)
+        params, opt_state, loss = step(params, opt_state, *batches[b])
+        audio_s += B * buckets[b]
     float(loss)  # the steps chain data-dependently; this waits for all
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    audio_s = B * secs * n_iters
     value = audio_s / dt / n_chips
     print(
         json.dumps(
