@@ -15,6 +15,7 @@ with proportionally-scaled output lengths.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -327,7 +328,128 @@ def parse_arch_lines(lines: List[str]) -> List[LayerSpec]:
         else:
             specs.append(_parse_one(tokens, lines[i]))
             i += 1
+    if _chain_tconv_enabled():
+        fused = _fuse_chain_tconv(specs)
+        if fused is not None:
+            return fused
     return _fuse_tds_layouts(specs)
+
+
+def _chain_tconv_enabled() -> bool:
+    """Pallas chain-layout fusion gate (W2L_TCONV=1). Off by default:
+    pallas_call does not auto-partition under pjit, so the multi-chip DP
+    path keeps the XLA conv graph; bench/single-chip runs opt in."""
+    return os.environ.get("W2L_TCONV", "") not in ("", "0", "off", "false")
+
+
+def _chain_member(s: LayerSpec):
+    """Classify a spec for Pallas-chain eligibility. Returns a tag or None."""
+    t = s.line.split()
+    if s.kind == "PD":
+        rest = [int(x) for x in t[2:]] + [0] * 8
+        if _num(t[1]) == 0 and all(v == 0 for v in rest[2:8]):
+            return "PD"
+        return None
+    if s.kind == "C2":
+        wy, sy = int(t[4]), int(t[6])
+        px = int(t[7]) if len(t) >= 8 else 0
+        py = int(t[8]) if len(t) >= 9 else 0
+        dx = int(t[9]) if len(t) >= 10 else 1
+        dy = int(t[10]) if len(t) >= 11 else 1
+        if wy == 1 and sy == 1 and py == 0 and dx == 1 and dy == 1 and px >= 0:
+            return "C2"
+        return None
+    if s.kind in ("R", "DO"):
+        return s.kind
+    if s.kind == "LN":
+        if tuple(int(x) for x in t[1:]) == (1, 2):
+            return "LN"
+        return None
+    if s.kind == "TDS":
+        lnt = not (len(t) >= 8 and int(t[7]) == 0)
+        return None if lnt else "TDS"
+    return None
+
+
+def _fuse_chain_tconv(specs: List[LayerSpec]):
+    """Pallas chain fusion: maximal runs of {PD, 1-D C2, R, DO, per-frame LN,
+    per-frame-LN TDS} execute in the contiguous f-major (B, T, F*C) layout
+    with the ops.pallas.tconv time-conv kernel — no stored-layout transposes
+    or XLA conv re-layouts anywhere inside a run (BENCH.md: 23.9 ms/step of
+    such copies on the flagship streaming TDS bench). Params (names, shapes,
+    C-major feature order) are identical to the unfused graph: PD merges its
+    time pads into the following conv and becomes Identity; LN(1,2) becomes
+    the per-frame LayerNorm((0,)) with the same scalar affine.
+
+    Returns the new spec list, or None if no run is worth fusing."""
+    tags = [_chain_member(s) for s in specs]
+    out = list(specs)
+    any_fused = False
+    i = 0
+    n = len(specs)
+    while i < n:
+        if tags[i] is None:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and tags[j + 1] is not None:
+            j += 1
+        # trim: start at first PD/C2/TDS, end at last TDS
+        a, b = i, j
+        while a <= b and tags[a] in ("R", "DO", "LN"):
+            a += 1
+        while b >= a and tags[b] != "TDS":
+            b -= 1
+        if b - a < 1 or sum(1 for r in range(a, b + 1) if tags[r] == "TDS") < 2:
+            i = j + 1
+            continue
+        any_fused = True
+        pend = (0, 0)
+        entered = False
+        for r in range(a, b + 1):
+            s, tag = out[r], tags[r]
+            t = s.line.split()
+            if tag == "PD":
+                rest = [int(x) for x in t[2:]] + [0, 0]
+                pend = (pend[0] + rest[0], pend[1] + rest[1])
+                out[r] = LayerSpec(
+                    "PD", lambda nm: L.Identity(name=nm), line=s.line)
+            elif tag == "C2":
+                ci, co = int(t[1]), int(t[2])
+                wx, sx = int(t[3]), int(t[5])
+                px = int(t[7]) if len(t) >= 8 else 0
+                pads = (pend[0] + px, pend[1] + px)
+                pend = (0, 0)
+                out[r] = LayerSpec(
+                    "C2",
+                    (lambda nm, ci=ci, co=co, wx=wx, sx=sx, pads=pads:
+                     L.Conv2D(ci, co, wx, 1, sx, 1, pads, 0,
+                              data_layout="btdf", name=nm)),
+                    line=s.line,
+                )
+                entered = True
+            elif tag == "LN":
+                out[r] = LayerSpec(
+                    "LN", lambda nm: L.LayerNorm((0,), name=nm), line=s.line)
+            elif tag == "TDS":
+                ci, wx, fdim = int(t[1]), int(t[2]), int(t[3])
+                do = _num(t[4]) if len(t) >= 5 else 0.0
+                l2 = int(t[5]) if len(t) >= 6 else 0
+                rpad = int(t[6]) if len(t) >= 7 else -1
+                il = "btdf" if entered else "ncft"
+                ol = "ncft" if r == b else "btdf"
+                out[r] = LayerSpec(
+                    "TDS",
+                    (lambda nm, ci=ci, wx=wx, fdim=fdim, do=do, l2=l2,
+                            rpad=rpad, il=il, ol=ol:
+                     L.TDSBlock(ci, wx, fdim, do, l2, rpad, False,
+                                in_layout=il, out_layout=ol, name=nm)),
+                    line=s.line,
+                )
+                entered = True
+            # R / DO stay as parsed (elementwise, shape-agnostic)
+        i = j + 1
+    return out if any_fused else None
 
 
 def _fuse_tds_layouts(specs: List[LayerSpec]) -> List[LayerSpec]:

@@ -83,6 +83,15 @@ class View(nn.Module):
         return x.reshape(tuple(reversed(tgt)))
 
 
+class Identity(nn.Module):
+    """No-op placeholder (keeps spec indices/param names stable when a
+    fusion pass absorbs a parameter-less layer into a neighbor)."""
+
+    @nn.compact
+    def __call__(self, x: Array, mask=None) -> Array:
+        return x
+
+
 class Reorder(nn.Module):
     perm: Tuple[int, int, int, int]  # AF permutation
 
@@ -114,11 +123,18 @@ class Linear(nn.Module):
     """AF Linear: y = W x over AF dim0 == dense on the last stored axis.
 
     Init matches flashlight Linear: uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    ``in_swap``/``out_swap`` support the Pallas f-major chain layout: params
+    stay in the reference C-major (c*F+f) feature order (checkpoint/converter
+    compatible) and are re-indexed at apply time when the activation is
+    f-major (f*C+c). in_swap/out_swap = (C, F) of the respective side.
     """
 
     in_dim: int
     out_dim: int
     use_bias: bool = True
+    in_swap: Optional[Tuple[int, int]] = None
+    out_swap: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: Array, mask=None) -> Array:
@@ -128,6 +144,14 @@ class Linear(nn.Module):
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (self.in_dim, self.out_dim),
         )
+        if self.in_swap is not None:
+            c, f = self.in_swap
+            w = w.reshape(c, f, self.out_dim).swapaxes(0, 1).reshape(
+                self.in_dim, self.out_dim)
+        if self.out_swap is not None:
+            c, f = self.out_swap
+            w = w.reshape(self.in_dim, c, f).swapaxes(1, 2).reshape(
+                self.in_dim, self.out_dim)
         y = x @ w.astype(x.dtype)
         if self.use_bias:
             b = self.param(
@@ -135,6 +159,9 @@ class Linear(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.out_dim,),
             )
+            if self.out_swap is not None:
+                c, f = self.out_swap
+                b = b.reshape(c, f).swapaxes(0, 1).reshape(self.out_dim)
             y = y + b.astype(x.dtype)
         return y
 
@@ -163,7 +190,10 @@ class Conv2D(nn.Module):
     # activation layout: "ncft" = stored AF NCHW (default); "ntcf" = the
     # TDS fused-chain layout (B, T, C, F) — the conv runs in place via
     # dimension numbers, so chained blocks avoid full-activation transposes.
-    # Params are layout-independent (same OIHW kernel either way).
+    # "btdf" = the Pallas chain layout (B, T, F*C) f-major: the time conv
+    # runs as the ops.pallas.tconv kernel entirely in-layout (kills XLA's
+    # conv layout copies; see BENCH.md). Params are layout-independent
+    # (same OIHW kernel in every mode).
     data_layout: str = "ncft"
 
     def _pads(self, n_w: int, n_h: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
@@ -201,6 +231,37 @@ class Conv2D(nn.Module):
             w = g * v / norm
         else:
             w = self.param("weight", _kaiming_normal, shape, fan_in)
+        if self.data_layout == "btdf":
+            # x is (B, T, F*in_ch) f-major; pure time conv via the Pallas
+            # chain-layout kernel (wy/sy/py/dilation/groups must be trivial —
+            # the fusion pass only selects such convs).
+            assert (self.wy, self.sy, self.py, self.dx, self.dy,
+                    self.groups) == (1, 1, 0, 1, 1, 1), self
+            from wav2letter_tpu.ops.pallas import tconv as _tconv
+
+            if x.ndim == 4:  # chain entry from stored (B, C, F, T)
+                B, C, F4, T4 = x.shape
+                x = x.transpose(0, 3, 2, 1).reshape(B, T4, F4 * C)
+            F = x.shape[2] // self.in_ch
+            pw = (self.px if isinstance(self.px, tuple)
+                  else self._pads(x.shape[1], 1)[0] if self.px == -1
+                  else (self.px, self.px))
+            wt = w[:, :, 0, :].transpose(2, 1, 0)  # (K, in, out)
+            if jax.default_backend() == "tpu":
+                y = _tconv.time_conv(x, wt.astype(x.dtype), F, self.sx, pw)
+            else:
+                y = _tconv.time_conv_reference(
+                    x, wt.astype(x.dtype), F, self.sx, pw)
+            if self.use_bias:
+                bound = 1.0 / math.sqrt(fan_in)
+                b = self.param(
+                    "bias",
+                    lambda k, s: jax.random.uniform(
+                        k, s, jnp.float32, -bound, bound),
+                    (self.out_ch,),
+                )
+                y = y + jnp.tile(b.astype(y.dtype), F)
+            return y
         if self.data_layout == "ntcf":
             # x is (B, T, C, F): N=0, W(time)=1, C=2, H(freq)=3
             pw, ph = self._pads(x.shape[1], x.shape[3])
@@ -522,7 +583,10 @@ class TDSBlock(nn.Module):
     # contiguous (B, T, C*F) domain ("btd"), avoiding 4 full-activation
     # transposes per block (measured 13% step win on v5e); boundary blocks
     # convert at entry/exit. Only valid when LN stats exclude time.
-    in_layout: str = "ncft"  # "ncft" (stored AF) | "btd"
+    # "btdf" = the Pallas chain layout (B, T, F*C) f-major: the time conv is
+    # the ops.pallas.tconv kernel (in-layout, in-kernel padding) and the
+    # linears re-index their C-major params at apply time.
+    in_layout: str = "ncft"  # "ncft" (stored AF) | "btd" | "btdf"
     out_layout: str = "ncft"
 
     @nn.compact
@@ -533,9 +597,37 @@ class TDSBlock(nn.Module):
         else:
             pads = ((w - 1) // 2, w - 1 - (w - 1) // 2)
         inner = self.inner_linear_dim or (c * f)
-        fused = not self.lnorm_include_time and (
+        fused_fc = not self.lnorm_include_time and (
+            self.in_layout == "btdf" or self.out_layout == "btdf"
+        )
+        fused = not self.lnorm_include_time and not fused_fc and (
             self.in_layout == "btd" or self.out_layout == "btd"
         )
+
+        if fused_fc:
+            # ---- Pallas f-major chain path; identical math (per-frame LN).
+            # Layout (B, T, F*C): the time conv is the tconv kernel, no
+            # stored-layout transposes anywhere in a fused chain.
+            if self.in_layout == "ncft":
+                B, C, F, T = x.shape
+                z = x.transpose(0, 3, 2, 1).reshape(B, T, F * C)
+            else:
+                z = x
+            conv = Conv2D(c, c, w, 1, 1, 1, pads, 0, name="conv",
+                          data_layout="btdf")
+            y = jnp.maximum(conv(z), 0)
+            y = Dropout(self.dropout, name="do1")(y, train=train)
+            z = LayerNorm((0,), name="ln1")(z + y)
+            h = Linear(c * f, inner, in_swap=(c, f), name="lin1")(z)
+            h = jnp.maximum(h, 0)
+            h = Dropout(self.dropout, name="do2")(h, train=train)
+            h = Linear(inner, c * f, out_swap=(c, f), name="lin2")(h)
+            h = Dropout(self.dropout, name="do3")(h, train=train)
+            z = LayerNorm((0,), name="ln2")(z + h)
+            if self.out_layout == "ncft":
+                B, T = z.shape[0], z.shape[1]
+                return z.reshape(B, T, f, c).transpose(0, 3, 2, 1)
+            return z
 
         if not fused:
             conv = Conv2D(c, c, w, 1, 1, 1, 0, 0, name="conv")
