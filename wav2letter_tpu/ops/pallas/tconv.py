@@ -97,33 +97,44 @@ def _tap(k, lp, S, BO):
 
 def _fwd_kernel(x_ref, w_ref, y_ref, xst_ref, p_ref, ys_ref, *,
                 K, C, CO, F, Fg, Tt, stride, n_t, Tout, lp, T):
+    """Grid (B, n_fg): the f-group axis rides the grid (compile-time program
+    size ~n_fg x smaller than a fully unrolled body); xst/ys scratch persist
+    across the inner grid axis."""
     S = stride
     D = F * C
     BO = -((-lp) // S)
-    _store_x_phases(x_ref, xst_ref, S, D, T, BO)
+    g = pl.program_id(1)
+    n_fg = pl.num_programs(1)
+
+    @pl.when(g == 0)
+    def _():
+        _store_x_phases(x_ref, xst_ref, S, D, T, BO)
+
     Tp2 = xst_ref.shape[1]
-    n_fg = F // Fg
     w = w_ref[:]
-    for g in range(n_fg):
-        xvts = []
-        for ph in range(S):
-            xg = xst_ref[ph * D + g * Fg * C : ph * D + (g + 1) * Fg * C, :]
-            xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
-        for ti in range(n_t):
-            t0 = ti * Tt
-            for k in range(K):
-                ph, base = _tap(k, lp, S, BO)
-                off = base + t0
-                sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
-                p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
-            y2 = jax.lax.dot_general(
-                p_ref[:], w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            y3 = jnp.transpose(y2.reshape(Fg, Tt, CO), (0, 2, 1))
-            ys_ref[g * Fg * CO : (g + 1) * Fg * CO, t0 : t0 + Tt] = (
-                y3.reshape(Fg * CO, Tt).astype(ys_ref.dtype))
-    y_ref[0, :, :] = jnp.transpose(ys_ref[:])[0:Tout, :]
+    gFgC = g * Fg * C
+    xvts = []
+    for ph in range(S):
+        xg = xst_ref[pl.ds(ph * D + gFgC, Fg * C), :]
+        xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
+    for ti in range(n_t):
+        t0 = ti * Tt
+        for k in range(K):
+            ph, base = _tap(k, lp, S, BO)
+            off = base + t0
+            sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
+            p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
+        y2 = jax.lax.dot_general(
+            p_ref[:], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y3 = jnp.transpose(y2.reshape(Fg, Tt, CO), (0, 2, 1))
+        ys_ref[pl.ds(g * Fg * CO, Fg * CO), t0 : t0 + Tt] = (
+            y3.reshape(Fg * CO, Tt).astype(ys_ref.dtype))
+
+    @pl.when(g == n_fg - 1)
+    def _():
+        y_ref[0, :, :] = jnp.transpose(ys_ref[:])[0:Tout, :]
 
 
 def _fwd(x, w, F, stride, lp, rp, t_tile=128):
@@ -143,13 +154,13 @@ def _fwd(x, w, F, stride, lp, rp, t_tile=128):
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Tout, F * CO), x.dtype),
-        grid=(B,),
+        grid=(B, F // Fg),
         in_specs=[
-            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Tout, F * CO), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, Tout, F * CO), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((S * D, Tp2), x.dtype),
@@ -169,39 +180,41 @@ def _wgrad_kernel(x_ref, dy_ref, dw_ref, xst_ref, p_ref, dyt_ref, *,
     D = F * C
     BO = -((-lp) // S)
     b = pl.program_id(0)
+    g = pl.program_id(1)
 
-    @pl.when(b == 0)
+    @pl.when(jnp.logical_and(b == 0, g == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    _store_x_phases(x_ref, xst_ref, S, D, T, BO)
+    @pl.when(g == 0)
+    def _():
+        _store_x_phases(x_ref, xst_ref, S, D, T, BO)
+        dyt_ref[:] = jnp.zeros_like(dyt_ref)
+        dyt_ref[:, 0:Tout] = jnp.transpose(dy_ref[0])
+
     Tp2 = xst_ref.shape[1]
-    dyt_ref[:] = jnp.zeros_like(dyt_ref)
-    dyt_ref[:, 0:Tout] = jnp.transpose(dy_ref[0])
-    n_fg = F // Fg
     acc = jnp.zeros((K * C, CO), jnp.float32)
-    for g in range(n_fg):
-        xvts = []
-        for ph in range(S):
-            xg = xst_ref[ph * D + g * Fg * C : ph * D + (g + 1) * Fg * C, :]
-            xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
-        dyg = jnp.transpose(
-            dyt_ref[g * Fg * CO : (g + 1) * Fg * CO, :].reshape(
-                Fg, CO, dyt_ref.shape[1]),
-            (0, 2, 1))  # (Fg, Tout_pad, CO); zero rows beyond Tout
-        for ti in range(n_t):
-            t0 = ti * Tt
-            for k in range(K):
-                ph, base = _tap(k, lp, S, BO)
-                off = base + t0
-                sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
-                p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
-            dyb = jax.lax.slice(dyg, (0, t0, 0), (Fg, t0 + Tt, CO)).reshape(
-                Fg * Tt, CO)
-            acc = acc + jax.lax.dot_general(
-                p_ref[:], dyb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    xvts = []
+    for ph in range(S):
+        xg = xst_ref[pl.ds(ph * D + g * Fg * C, Fg * C), :]
+        xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
+    dyg = jnp.transpose(
+        dyt_ref[pl.ds(g * Fg * CO, Fg * CO), :].reshape(
+            Fg, CO, dyt_ref.shape[1]),
+        (0, 2, 1))  # (Fg, Tout_pad, CO); zero rows beyond Tout
+    for ti in range(n_t):
+        t0 = ti * Tt
+        for k in range(K):
+            ph, base = _tap(k, lp, S, BO)
+            off = base + t0
+            sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
+            p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
+        dyb = jax.lax.slice(dyg, (0, t0, 0), (Fg, t0 + Tt, CO)).reshape(
+            Fg * Tt, CO)
+        acc = acc + jax.lax.dot_general(
+            p_ref[:], dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     dw_ref[:] += acc
 
 
@@ -219,14 +232,14 @@ def _wgrad(x, dy, wshape, F, stride, lp, rp, t_tile=128):
     dw2 = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((K * C, CO), jnp.float32),
-        grid=(B,),
+        grid=(B, F // Fg),
         in_specs=[
-            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tout, F * CO), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Tout, F * CO), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K * C, CO), lambda b: (0, 0),
+        out_specs=pl.BlockSpec((K * C, CO), lambda b, g: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((S * D, Tp2), x.dtype),
