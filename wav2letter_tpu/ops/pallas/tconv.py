@@ -48,9 +48,9 @@ def _align(n, m):
     return -(-n // m) * m
 
 
-def _pick_fg(F, Tp2, vmem_budget=4 * 1024 * 1024):
-    """f-group size: the (Fg, Tp2, C->128 lanes) padded view is the VMEM
-    hog; keep it under budget while dividing F."""
+def _pick_fg(F, Tp2, vmem_budget=2 * 1024 * 1024):
+    """f-group size: the (Fg, Tp2, C->128 lanes) padded xvt scratch is the
+    VMEM hog; keep it under budget while dividing F."""
     fg = F
     while fg > 1 and fg * Tp2 * 128 * 2 > vmem_budget:
         fg -= 1
@@ -95,11 +95,13 @@ def _tap(k, lp, S, BO):
     return ph, BO + (m - ph) // S
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, xst_ref, p_ref, ys_ref, *,
+def _fwd_kernel(x_ref, w_ref, y_ref, xst_ref, xvt_ref, p_ref, ys_ref, *,
                 K, C, CO, F, Fg, Tt, stride, n_t, Tout, lp, T):
     """Grid (B, n_fg): the f-group axis rides the grid (compile-time program
     size ~n_fg x smaller than a fully unrolled body); xst/ys scratch persist
-    across the inner grid axis."""
+    across the inner grid axis. The relayouted f-group view is MATERIALIZED
+    into xvt_ref once per cell — as a bare value Mosaic recomputes the
+    transpose at every slice use (measured: 20 s instead of ~1 ms)."""
     S = stride
     D = F * C
     BO = -((-lp) // S)
@@ -113,16 +115,15 @@ def _fwd_kernel(x_ref, w_ref, y_ref, xst_ref, p_ref, ys_ref, *,
     Tp2 = xst_ref.shape[1]
     w = w_ref[:]
     gFgC = g * Fg * C
-    xvts = []
     for ph in range(S):
         xg = xst_ref[pl.ds(ph * D + gFgC, Fg * C), :]
-        xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
+        xvt_ref[ph] = jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1))
     for ti in range(n_t):
         t0 = ti * Tt
         for k in range(K):
             ph, base = _tap(k, lp, S, BO)
             off = base + t0
-            sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
+            sl = xvt_ref[ph, :, off : off + Tt, :]
             p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
         y2 = jax.lax.dot_general(
             p_ref[:], w, (((1,), (0,)), ((), ())),
@@ -164,6 +165,7 @@ def _fwd(x, w, F, stride, lp, rp, t_tile=128):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((S * D, Tp2), x.dtype),
+            pltpu.VMEM((S, Fg, Tp2, C), x.dtype),
             pltpu.VMEM((Fg * Tt, K * C), x.dtype),
             pltpu.VMEM((F * CO, Tout_pad), x.dtype),
         ],
@@ -174,8 +176,8 @@ def _fwd(x, w, F, stride, lp, rp, t_tile=128):
 # wgrad kernel: dw[k*C+c, co] = sum_{b,t,f} xpad[b,t*s+k,f*C+c] * dy[b,t,f*CO+co]
 # Same im2col machinery; accumulates across the sequential (B,) grid.
 # ---------------------------------------------------------------------------
-def _wgrad_kernel(x_ref, dy_ref, dw_ref, xst_ref, p_ref, dyt_ref, *,
-                  K, C, CO, F, Fg, Tt, stride, n_t, Tout, lp, T):
+def _wgrad_kernel(x_ref, dy_ref, dw_ref, xst_ref, xvt_ref, dyg_ref, p_ref,
+                  dyt_ref, *, K, C, CO, F, Fg, Tt, stride, n_t, Tout, lp, T):
     S = stride
     D = F * C
     BO = -((-lp) // S)
@@ -194,11 +196,10 @@ def _wgrad_kernel(x_ref, dy_ref, dw_ref, xst_ref, p_ref, dyt_ref, *,
 
     Tp2 = xst_ref.shape[1]
     acc = jnp.zeros((K * C, CO), jnp.float32)
-    xvts = []
     for ph in range(S):
         xg = xst_ref[pl.ds(ph * D + g * Fg * C, Fg * C), :]
-        xvts.append(jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1)))
-    dyg = jnp.transpose(
+        xvt_ref[ph] = jnp.transpose(xg.reshape(Fg, C, Tp2), (0, 2, 1))
+    dyg_ref[:] = jnp.transpose(
         dyt_ref[pl.ds(g * Fg * CO, Fg * CO), :].reshape(
             Fg, CO, dyt_ref.shape[1]),
         (0, 2, 1))  # (Fg, Tout_pad, CO); zero rows beyond Tout
@@ -207,10 +208,9 @@ def _wgrad_kernel(x_ref, dy_ref, dw_ref, xst_ref, p_ref, dyt_ref, *,
         for k in range(K):
             ph, base = _tap(k, lp, S, BO)
             off = base + t0
-            sl = jax.lax.slice(xvts[ph], (0, off, 0), (Fg, off + Tt, C))
+            sl = xvt_ref[ph, :, off : off + Tt, :]
             p_ref[:, k * C : (k + 1) * C] = sl.reshape(Fg * Tt, C)
-        dyb = jax.lax.slice(dyg, (0, t0, 0), (Fg, t0 + Tt, CO)).reshape(
-            Fg * Tt, CO)
+        dyb = dyg_ref[:, t0 : t0 + Tt, :].reshape(Fg * Tt, CO)
         acc = acc + jax.lax.dot_general(
             p_ref[:], dyb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -243,6 +243,8 @@ def _wgrad(x, dy, wshape, F, stride, lp, rp, t_tile=128):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((S * D, Tp2), x.dtype),
+            pltpu.VMEM((S, Fg, Tp2, C), x.dtype),
+            pltpu.VMEM((Fg, Tout_pad, CO), x.dtype),
             pltpu.VMEM((Fg * Tt, K * C), x.dtype),
             pltpu.VMEM((F * CO, Tout_pad), x.dtype),
         ],
