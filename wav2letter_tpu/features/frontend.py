@@ -175,14 +175,29 @@ class Featurizer:
 
     # ------------------------------------------------------------------
     def frame_signal(self, audio: jnp.ndarray) -> jnp.ndarray:
-        """(B, S) -> (B, T, frame_samples) strided frames."""
+        """(B, S) -> (B, T, frame_samples) strided frames.
+
+        Gather-free: decompose the in-frame offset j = q*ss + r, so
+        frames[t, j] = reshaped[t + q, r] with reshaped = audio viewed
+        (-1, ss) — ceil(fs/ss) shifted slices concatenated on the last
+        axis. Pure pad/reshape/slice/concat fuses on TPU (the index-matrix
+        gather showed up as a 0.9 ms/step custom fusion on the bench)."""
         p = self.p
         fs, ss = p.frame_samples, p.stride_samples
         S = audio.shape[-1]
         T = num_frames(S, fs, ss)
-        # gather via dynamic slice-free indexing: build index matrix (T, fs)
-        idx = (np.arange(T)[:, None] * ss + np.arange(fs)[None, :]).astype(np.int32)
-        return audio[..., idx]  # (B, T, fs)
+        nq = -(-fs // ss)
+        need = (T + nq) * ss
+        pad = max(0, need - S)
+        if pad:
+            audio = jnp.pad(
+                audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+        xv = audio[..., : (T + nq) * ss].reshape(audio.shape[:-1] + (T + nq, ss))
+        parts = []
+        for q in range(nq):
+            width = min(ss, fs - q * ss)
+            parts.append(xv[..., q : q + T, :width])
+        return jnp.concatenate(parts, axis=-1)  # (B, T, fs)
 
     def __call__(
         self,

@@ -157,42 +157,51 @@ def _gather_ext_logprobs(log_probs: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarra
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _ctc_neglogp(log_probs, targets, logit_len, target_len):
-    loss, _ = _ctc_fwd_impl(log_probs, targets, logit_len, target_len)
+def _ctc_neglogp(logits, targets, logit_len, target_len):
+    loss, _ = _ctc_fwd_impl(logits, targets, logit_len, target_len)
     return loss
 
 
-def _ctc_fwd_impl(log_probs, targets, logit_len, target_len):
-    B, T, N = log_probs.shape
+def _ctc_fwd_impl(logits, targets, logit_len, target_len):
+    """Takes RAW logits; the log-softmax is folded into the loss (forward:
+    gathered-logits minus logsumexp; backward: the classic closed form
+    softmax(logits) - posterior). Keeping the normalization inside the
+    custom VJP avoids XLA's log_softmax-VJP materializing + re-layouting a
+    full (B,T,N) f32 intermediate (0.9 ms/step on the flagship bench)."""
+    B, T, N = logits.shape
     blank = N - 1
     ext = _extended_labels(targets, blank)
     allow_skip, valid = _ctc_masks(ext, target_len)
-    lp_ext = _gather_ext_logprobs(log_probs, ext)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B,T)
+    lp_ext = _gather_ext_logprobs(logits, ext) - lse.T[:, :, None]  # (T,B,L)
     alphas, logZ = _forward_alphas(lp_ext, allow_skip, valid, logit_len, target_len)
-    return -logZ, (ext, allow_skip, valid, alphas, logZ)
+    return -logZ, (ext, allow_skip, valid, alphas, logZ, lse)
 
 
-def _ctc_fwd(log_probs, targets, logit_len, target_len):
-    loss, res = _ctc_fwd_impl(log_probs, targets, logit_len, target_len)
-    return loss, (log_probs, targets, logit_len, target_len, res)
+def _ctc_fwd(logits, targets, logit_len, target_len):
+    loss, res = _ctc_fwd_impl(logits, targets, logit_len, target_len)
+    return loss, (logits, targets, logit_len, target_len, res)
 
 
 def _ctc_bwd(saved, g):
-    log_probs, targets, logit_len, target_len, (ext, allow_skip, valid, alphas, logZ) = saved
-    B, T, N = log_probs.shape
-    lp_ext = _gather_ext_logprobs(log_probs, ext)
+    (logits, targets, logit_len, target_len,
+     (ext, allow_skip, valid, alphas, logZ, lse)) = saved
+    B, T, N = logits.shape
+    lp_ext = _gather_ext_logprobs(logits, ext) - lse.T[:, :, None]
     betas = _backward_betas(lp_ext, allow_skip, valid, logit_len, target_len)
     # posterior over extended states: gamma (T,B,L)
     gamma = alphas + betas - logZ[None, :, None]
     gamma = jnp.exp(jnp.clip(gamma, -80.0, 80.0))
     t_mask = (jnp.arange(T)[:, None] < logit_len[None, :])[:, :, None]
     gamma = jnp.where(t_mask & valid[None], gamma, 0.0)
-    # scatter-add onto vocab: dL/d lp(b,t,n) = -sum_{s: ext[s]=n} gamma
-    ext_onehot = jax.nn.one_hot(ext, N, dtype=log_probs.dtype)  # (B,L,N)
+    # scatter-add onto vocab: post(b,t,n) = sum_{s: ext[s]=n} gamma
+    ext_onehot = jax.nn.one_hot(ext, N, dtype=logits.dtype)  # (B,L,N)
     post = jnp.einsum("tbl,bln->btn", gamma, ext_onehot)
-    grad_lp = -post  # d(-logZ)/d log_probs
-    grad_lp = grad_lp * g[:, None, None]
-    return grad_lp, None, None, None
+    # d(-logZ)/d logits = softmax(logits) - post for valid frames, 0 beyond
+    sm = jnp.exp(logits - lse[:, :, None])
+    bt_mask = jnp.arange(T)[None, :] < logit_len[:, None]  # (B,T)
+    grad = (sm - post) * jnp.where(bt_mask, g[:, None], 0.0)[:, :, None]
+    return grad, None, None, None
 
 
 _ctc_neglogp.defvjp(_ctc_fwd, _ctc_bwd)
@@ -211,8 +220,7 @@ def ctc_loss(
     B, T, N = logits.shape
     if blank is not None and blank != N - 1:
         raise ValueError("reference convention requires blank == N-1")
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    return _ctc_neglogp(log_probs, targets, logit_len, target_len)
+    return _ctc_neglogp(logits, targets, logit_len, target_len)
 
 
 def ctc_viterbi(logits: jnp.ndarray, logit_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
