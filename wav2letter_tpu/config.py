@@ -215,6 +215,9 @@ _DEFS: List[FlagDef] = [
     _f("nthread_decoder_am_forward", int, 1),
     _f("emission_queue_size", int, 3000),
     _f("isbeamdump", bool, False),
+    _f("use_completed_hyp", bool, False,
+       "s2s beam dump: keep only EOS-completed hypotheses (sota/2019 "
+       "rescoring cfgs)"),
     _f("sclite", str, ""),
     _f("show", bool, False),
     _f("showletters", bool, False),
@@ -226,12 +229,17 @@ _DEFS: List[FlagDef] = [
 # deprecated aliases (reference handleDeprecatedFlags, cpc/Train.cpp:331)
 _DEPRECATED = {
     "silweight": "silscore",
+    "sil_weight": "silscore",
     "smoothing_temperature": "smoothingtemperature",
     "listdata": None,  # accepted, ignored
     "memstepsize": None,
     "fftcachesize": None,
     "wnorm": None,
     "fl_benchmark_mode": None,  # ArrayFire dynamic-benchmark toggle; no TPU analog
+    # target-unit type (ltr|tkn|wrd): implied by the tokens/lexicon files in
+    # this framework (the reference's W2lDataset-era flag; seq2seq_tds etc.
+    # set --target=ltr)
+    "target": None,
 }
 
 FLAG_DEFS: Dict[str, FlagDef] = {d.name: d for d in _DEFS}

@@ -32,7 +32,7 @@ from ..config import Config
 from .audio import load_audio
 from .batching import BatchSpec, LengthBucketer, filter_samples, round_up
 from .dictionary import Dictionary, Lexicon
-from .listfile import ListSample, read_list_file
+from .listfile import ListSample, read_list_file, read_list_files
 from .targets import TargetOptions, encode_transcript
 
 
@@ -55,7 +55,10 @@ class AsrDataset:
         self.cfg = cfg
         self.token_dict = token_dict
         self.lexicon = lexicon
-        self.samples: List[ListSample] = read_list_file(list_path)
+        # comma-separated list specs + --datadir prefix (reference
+        # pathsConcat semantics; multi-list --train in the sota/mls cfgs)
+        self.samples: List[ListSample] = read_list_files(
+            list_path, getattr(cfg, "datadir", ""))
         if max_load is None or max_load < 0:
             max_load = cfg.max_load
         if max_load and max_load > 0:

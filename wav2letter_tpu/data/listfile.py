@@ -8,6 +8,7 @@ one sample per line, whitespace-separated, transcript may be empty.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List
 
 
@@ -21,6 +22,30 @@ class ListSample:
     @property
     def words(self) -> List[str]:
         return self.transcript.split()
+
+
+def resolve_list_paths(spec: str, datadir: str = "") -> List[str]:
+    """Reference path semantics (``pathsConcat``; ``--train=a.lst,b.lst``
+    with ``--datadir`` prefix, e.g. ``sota/2019/librispeech/
+    train_am_transformer_s2s.cfg``): comma-separated list files, each joined
+    under datadir unless absolute."""
+    out = []
+    for p in spec.split(","):
+        p = p.strip()
+        if not p:
+            continue
+        if datadir and not os.path.isabs(p):
+            p = os.path.join(datadir, p)
+        out.append(p)
+    return out
+
+
+def read_list_files(spec: str, datadir: str = "") -> List[ListSample]:
+    """Concatenation of all lists named by a comma spec (+datadir)."""
+    out: List[ListSample] = []
+    for p in resolve_list_paths(spec, datadir):
+        out.extend(read_list_file(p))
+    return out
 
 
 def read_list_file(path: str) -> List[ListSample]:

@@ -82,6 +82,9 @@ class DecodeResult:
     lm_score: float
     words: List[int]  # word indices per frame (-1 = none)
     tokens: List[int]  # token index per frame
+    # s2s: hypothesis reached EOS (vs. cut at maxdecoderoutputlen); the
+    # --use_completed_hyp rescoring cfgs filter beam dumps on this
+    completed: bool = True
 
     def word_frames(self) -> List[Tuple[int, int, int]]:
         """(word_idx, begin_frame, end_frame) per emitted word — frame times

@@ -195,6 +195,7 @@ class Seq2SeqDecoderBase:
             state = new_state
             if not beam:
                 break
+        was_completed = bool(finished)
         if not finished:
             finished = beam
         # LM finish
@@ -210,7 +211,8 @@ class Seq2SeqDecoderBase:
         results = []
         for sc, h in out[:n_best]:
             results.append(
-                DecodeResult(sc, h.am_score, lmsc, h.words or [-1], h.tokens)
+                DecodeResult(sc, h.am_score, lmsc, h.words or [-1], h.tokens,
+                             completed=was_completed)
             )
         return results
 

@@ -288,6 +288,26 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                         max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
                     )
                 results = dec.decode(n_best=50 if ecfg.isbeamdump else 1)
+                if ecfg.isbeamdump:
+                    from ..tools.rescore import BeamHyp
+
+                    pool = results
+                    if ecfg.use_completed_hyp:
+                        # rescoring cfgs (--use_completed_hyp=true): dump
+                        # only EOS-completed hypotheses
+                        pool = [r for r in results if r.completed] or results
+                    dumped = []
+                    for r in pool:
+                        ws = ([word_dict.get_entry(w) for w in r.words if w >= 0]
+                              if word_dict else
+                              tokens_to_words(
+                                  ev.token_dict.map_indices(
+                                      [t for t in r.tokens
+                                       if 0 <= t < ev.n_classes - 2]),
+                                  ecfg.wordseparator, ecfg.usewordpiece))
+                        dumped.append(BeamHyp(sid, ws, r.am_score, r.lm_score))
+                    with lock:
+                        beam_dump[sid] = dumped
                 res = results[0]
                 emitted = [w for w in res.words if w >= 0]
                 if word_dict and emitted:

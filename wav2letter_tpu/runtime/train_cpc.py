@@ -61,6 +61,12 @@ CPC_DEFAULTS = dict(
     # warmup=FLAGS_supwarmup when !pretrain)
     supwarmup=0,
     suphold=0,
+    # supervised criterion selection + its grad clip (Train.cpp:81-85,
+    # :410): reference default "ctc"; ASG/S2S supervised heads are not used
+    # by any vox_populi recipe — validated at startup.
+    criterion2="ctc",
+    lrcrit2=0.0,
+    maxgradnorm2=0.0,
     # start from pretrained weights (Train.cpp:495-503 PartialLoading)
     pretrainmodel="",
 )
@@ -73,6 +79,10 @@ class CPCTrainer:
         self.fl = dict(CPC_DEFAULTS)
         if cpc_flags:
             self.fl.update(cpc_flags)
+        if str(self.fl.get("criterion2", "ctc")) != "ctc":
+            raise ValueError(
+                "--criterion2: only 'ctc' is supported (the reference default;"
+                " no vox_populi recipe uses another supervised criterion)")
         self.updates = 0
         self.mode = mode
         # --- run dir & continue resolution (Train.cpp:241-327) ---
@@ -285,10 +295,13 @@ class CPCTrainer:
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = {k: jax.tree.map(lambda x: x * gates[k], v) for k, v in grads.items()}
-            if self.cfg.maxgradnorm > 0:
+            # supervised phase clips with --maxgradnorm2 when set
+            # (Train.cpp:84-85, :1341-1351), else --maxgradnorm
+            mgn = float(self.fl.get("maxgradnorm2", 0.0)) or self.cfg.maxgradnorm
+            if mgn > 0:
                 leaves = jax.tree.leaves(grads)
                 gn = jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
-                sc = jnp.minimum(1.0, self.cfg.maxgradnorm / (gn + 1e-12))
+                sc = jnp.minimum(1.0, mgn / (gn + 1e-12))
                 grads = jax.tree.map(lambda x: x * sc, grads)
             finite = jnp.isfinite(loss)
             grads = jax.tree.map(lambda x: jnp.where(finite, x, 0.0), grads)

@@ -38,6 +38,8 @@ LPM_DEFAULTS = dict(
     hyplenratiolb=0.3,
     hyplenratioub=3.0,
     unpairedBatchsize=0,  # 0 = batchsize
+    proposalModel="",  # init the frozen proposal from this checkpoint
+    trainaudio=True,  # include the unpaired-audio LPM loss (Defines.h)
 )
 
 
@@ -58,9 +60,19 @@ class LPMTrainer(Trainer):
             batch_size=int(self.fl["unpairedBatchsize"]) or cfg.batchsize,
             world_rank=jax.process_index(), world_size=jax.process_count(),
         )
-        # deep copies: the train step donates its param buffers
-        self.proposal_params = jax.tree.map(jnp.copy, self.model_params)
-        self.proposal_crit = jax.tree.map(jnp.copy, self.crit_params)
+        # deep copies: the train step donates its param buffers.
+        # --proposalModel seeds the frozen proposal from a separate
+        # checkpoint (Train_lpm.cpp loads it before the loop); default is
+        # the live model's init/resumed weights.
+        if str(self.fl["proposalModel"]):
+            from .checkpoint import load_checkpoint
+
+            prop = load_checkpoint(str(self.fl["proposalModel"]))
+            self.proposal_params = jax.tree.map(jnp.copy, prop.model_params)
+            self.proposal_crit = jax.tree.map(jnp.copy, prop.crit_params)
+        else:
+            self.proposal_params = jax.tree.map(jnp.copy, self.model_params)
+            self.proposal_crit = jax.tree.map(jnp.copy, self.crit_params)
 
     def _refresh_proposal(self):
         self.proposal_params = jax.tree.map(jnp.copy, self.model_params)
@@ -129,9 +141,13 @@ class LPMTrainer(Trainer):
         self._train_step = self._make_train_step()
         self._eval_step = self._make_eval_step()
         self._eval_proposal = self._make_proposal_eval()
+        # --trainaudio=false drops the unpaired-audio stream entirely
+        # (reference Defines.h / Train_lpm.cpp gating)
+        audioiter = (
+            int(self.fl["audioiter"]) if bool(self.fl["trainaudio"]) else 0)
         sched = DataScheduler(
             [self.train_ds, self.unpaired_ds],
-            [int(self.fl["pairediter"]), int(self.fl["audioiter"])],
+            [int(self.fl["pairediter"]), audioiter],
             num_threads=cfg.nthread, seed=cfg.seed,
         )
         rng = jax.random.PRNGKey(cfg.seed + 5)

@@ -78,6 +78,8 @@ from .meters import AverageMeter, DatasetMeters, EditDistanceMeter
 from .train import Trainer, _log
 
 SLIMIPL_DEFAULTS = dict(  # upstream defaults, slimIPL/src/Train.cpp:79-102
+    unsup_datadir="",  # prefix for --unsup_train (Train.cpp:73-78)
+    unsup_train="",  # comma list of unlabeled .lst files
     slimIPL_start=0,
     slimIPL_type="naive",  # naive|cache|pre-cache|fixed-pre-cache
     slimIPL_fixed_cache_updates=1000,  # size of the fixed batch cache
@@ -124,8 +126,20 @@ class SlimIPLTrainer(Trainer):
                 time_mask_t=cfg.saug_tmaskt,
                 time_mask_p=cfg.saug_tmaskp,
             )
+        # unlabeled stream: explicit arg > --unsup_datadir/--unsup_train
+        # (upstream flags, Train.cpp:73-78) > --train2
+        unsup_spec = unsup_list
+        if not unsup_spec and str(self.fl["unsup_train"]):
+            import os as _os
+
+            dd = str(self.fl["unsup_datadir"])
+            unsup_spec = ",".join(
+                _os.path.join(dd, p) if dd and not _os.path.isabs(p) else p
+                for p in str(self.fl["unsup_train"]).split(",") if p.strip()
+            )
+        unsup_spec = unsup_spec or cfg.train2
         self.unsup_ds = AsrDataset(
-            unsup_list or cfg.train2, self.token_dict, self.lexicon, cfg,
+            unsup_spec, self.token_dict, self.lexicon, cfg,
             allow_empty_targets=True,
             world_rank=jax.process_index(), world_size=jax.process_count(),
         )
