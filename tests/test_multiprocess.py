@@ -91,3 +91,95 @@ def test_two_process_dp(tmp_path):
     l0 = np.load(tmp_path / "loss0.npy")
     l1 = np.load(tmp_path / "loss1.npy")
     np.testing.assert_allclose(l0, l1)
+
+
+TRAINER_WORKER = r"""
+import sys, os
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; outdir = sys.argv[3]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+assert jax.process_count() == 2 and jax.device_count() == 8
+sys.path.insert(0, {repo!r})
+import numpy as np
+from wav2letter_tpu.config import Config
+from wav2letter_tpu.runtime.train import Trainer
+
+arch = os.path.join(outdir, "mp.arch")
+cfg = Config()
+cfg.update(dict(
+    train=os.path.join(outdir, "data", "data.lst"),
+    tokens=os.path.join(outdir, "data", "tokens.txt"),
+    lexicon=os.path.join(outdir, "data", "lexicon.txt"),
+    rundir=outdir, runname="mp2proc", batchsize=4, mfsc=True, filterbanks=40,
+    criterion="ctc", lr=0.1, netoptim="sgd", momentum=0.9, maxgradnorm=1.0,
+    iter=4, nthread=1, pad_multiple=64, arch=arch, compute_dtype="float32",
+    onorm="target", reportiters=2, pcttraineval=100.0, seed=5,
+))
+tr = Trainer(cfg)
+# dataset must be sharded by rank: each process sees its strided slice of
+# every global batch (same spec count + shapes on all ranks)
+assert tr.train_ds.bucketer.world_size == 2
+# record the cross-process aggregated meter state at each report boundary
+import wav2letter_tpu.runtime.train as train_mod
+synced = []
+orig_sync = train_mod.sync_meters
+def spy_sync(m):
+    out = orig_sync(m)
+    synced.append((m.train.tkn_edit.errors, m.train.tkn_edit.total,
+                   m.train.loss.sum, m.train.loss.n))
+    return out
+train_mod.sync_meters = spy_sync
+tr.run()
+assert tr.updates == 4
+assert len(synced) >= 2 and synced[0][1] > 0  # non-trivial aggregated counts
+from jax.flatten_util import ravel_pytree
+flat, _ = ravel_pytree(jax.tree.map(lambda x: np.asarray(x), tr.model_params))
+np.save(os.path.join(outdir, f"params{proc_id}.npy"), np.asarray(flat))
+with open(os.path.join(outdir, f"edit{proc_id}.txt"), "w") as f:
+    f.write(repr(synced))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_real_trainer(tmp_path):
+    """VERDICT r1 item 1(c): the REAL Trainer (sharded dataset, jitted GSPMD
+    step, sync_meters, checkpointing) across two coordinated processes ends
+    with bit-identical replica parameters on both ranks."""
+    from tests.util_synth import make_dataset
+
+    make_dataset(str(tmp_path / "data"), n_utts=16, seed=21)
+    (tmp_path / "mp.arch").write_text(
+        "V -1 1 NFEAT 0\nC NFEAT 64 8 4 4\nRO 2 0 3 1\nL 64 64\nR\nL 64 NLABEL\n"
+    )
+    script = tmp_path / "trainer_worker.py"
+    script.write_text(TRAINER_WORKER.replace("{repo!r}", repr(REPO)))
+    coord = f"127.0.0.1:{free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(tmp_path)],
+            env=dict(os.environ), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+    p0 = np.load(tmp_path / "params0.npy")
+    p1 = np.load(tmp_path / "params1.npy")
+    np.testing.assert_array_equal(p0, p1)  # replicas bit-identical
+    assert np.isfinite(p0).all()
+    # sync_meters ran at the report boundary: aggregated edit counts agree
+    e0 = (tmp_path / "edit0.txt").read_text()
+    e1 = (tmp_path / "edit1.txt").read_text()
+    assert e0 == e1
+    # rank 0 wrote the self-describing checkpoint; it must load standalone
+    ck = tmp_path / "mp2proc" / "model_last.bin"
+    assert ck.exists()
+    from wav2letter_tpu.runtime.checkpoint import load_checkpoint
+
+    loaded = load_checkpoint(str(ck))
+    assert loaded.updates == 4

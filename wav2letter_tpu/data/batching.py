@@ -34,6 +34,9 @@ class BatchSpec:
     indices: List[int]
     max_input_frames: int  # padded (bucket boundary)
     max_target_len: int  # padded
+    # multi-process: materialize exactly this many rows (pad rows appended)
+    # so every rank contributes the same local shard shape; 0 = len(indices)
+    pad_rows: int = 0
 
 
 class LengthBucketer:
@@ -80,9 +83,23 @@ class LengthBucketer:
             self._build_dynamic(batching_max_frames)
         else:
             self._build_fixed()
-        # shard batches across ranks (reference shards samples; sharding whole
-        # batches keeps per-rank shapes identical, which pjit requires)
-        self.batches = self.batches[self.world_rank :: self.world_size]
+        # Shard WITHIN each batch (reference shards samples,
+        # ``cpc/Train.cpp:765-766``): every rank sees the same global batch
+        # list — same count, same padded (T, U) shapes computed from the FULL
+        # index set — and takes a strided slice of the rows. Lockstep SPMD
+        # across processes requires identical per-step global shapes; sharding
+        # whole batches would let ranks land in different length buckets.
+        if self.world_size > 1:
+            ws = self.world_size
+            self.batches = [
+                BatchSpec(
+                    spec.indices[self.world_rank :: ws],
+                    spec.max_input_frames,
+                    spec.max_target_len,
+                    pad_rows=(len(spec.indices) + ws - 1) // ws,
+                )
+                for spec in self.batches
+            ]
 
     def _pad_shape(self, idxs: np.ndarray) -> Tuple[int, int]:
         t = int(round_up(int(self.input_lengths[idxs].max()), self.pad_multiple))
@@ -93,7 +110,9 @@ class LengthBucketer:
         return t, u
 
     def _build_fixed(self) -> None:
-        bs = self.batch_size
+        # --batchsize is PER-RANK (reference semantics: global batch =
+        # world_size x batchsize); specs group the global batch
+        bs = self.batch_size * self.world_size
         for i in range(0, len(self.order), bs):
             idxs = self.order[i : i + bs]
             if len(idxs) == 0:
@@ -102,6 +121,8 @@ class LengthBucketer:
             self.batches.append(BatchSpec(idxs.tolist(), t, u))
 
     def _build_dynamic(self, max_frames: float) -> None:
+        # per-rank frames budget -> global budget (see _build_fixed)
+        max_frames = max_frames * self.world_size
         cur: List[int] = []
         cur_max = 0.0
         for idx in self.order:

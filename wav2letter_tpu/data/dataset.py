@@ -141,11 +141,15 @@ class AsrDataset:
         return (n_frames - 1) * self.stride_samples + self.frame_samples
 
     def materialize(self, spec: BatchSpec) -> Dict[str, np.ndarray]:
-        b = len(spec.indices)
+        # pad_rows: multi-process lockstep — every rank materializes the same
+        # local row count (rows beyond the index list are padding rows with
+        # sample_idx=-1, masked out of the loss and meters)
+        b = max(len(spec.indices), spec.pad_rows)
         s_max = self.audio_samples_for_frames(spec.max_input_frames)
         audio = np.zeros((b, s_max), dtype=np.float32)
         audio_len = np.zeros((b,), dtype=np.int32)
         tgt = np.full((b, spec.max_target_len), -1, dtype=np.int32)
+        tgt[len(spec.indices) :] = 0  # pad rows: 0-fill like pad_batch_rows
         tgt_len = np.zeros((b,), dtype=np.int32)
         for i, idx in enumerate(spec.indices):
             wav = load_audio(self.samples[idx].audio_path, self.sr)
@@ -162,7 +166,12 @@ class AsrDataset:
             "audio_len": audio_len,
             "target": tgt,
             "target_len": tgt_len,
-            "sample_idx": np.asarray(spec.indices, dtype=np.int64),
+            "sample_idx": np.concatenate(
+                [
+                    np.asarray(spec.indices, dtype=np.int64),
+                    np.full((b - len(spec.indices),), -1, np.int64),
+                ]
+            ),
         }
 
 

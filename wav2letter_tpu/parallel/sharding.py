@@ -24,13 +24,46 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Shard leading (batch) axis of every leaf over the data axis."""
+    """Shard leading (batch) axis of every leaf over the data axis.
+
+    Multi-process (``jax.distributed``): each process holds only its *local*
+    rows (the dataset is sharded by rank, reference ``cpc/Train.cpp:765-766``);
+    the local arrays are assembled into one global array spanning the mesh —
+    the TPU-native replacement for "every rank steps on its own batch and
+    NCCL reduces the grads".
+    """
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def put(x):
+            if np.ndim(x) < 1:
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), mesh, P()
+                )
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P(DATA_AXIS)
+            )
+
+        return jax.tree.map(put, batch)
 
     def put(x):
         spec = P(DATA_AXIS) if np.ndim(x) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
+
+
+def to_host_local(mesh: Mesh, x: Any) -> np.ndarray:
+    """Fetch the rows of a batch-sharded device array that belong to this
+    process (inverse of ``shard_batch``). Single-process: plain fetch."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    spec = P(DATA_AXIS) if np.ndim(x) >= 1 else P()
+    local = multihost_utils.global_array_to_host_local_array(x, mesh, spec)
+    return np.asarray(local)
 
 
 def param_spec(path: tuple, x: Any, min_shard_size: int = 2**20) -> P:

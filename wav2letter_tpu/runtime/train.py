@@ -389,8 +389,19 @@ class Trainer:
     def _prep(self, batch):
         from ..data.batching import pad_batch_rows
 
-        padded = pad_batch_rows(batch, self.mesh.shape[DATA_AXIS])
+        # each process holds 1/process_count of the global batch (dataset is
+        # sharded by rank); pad local rows so the assembled global batch
+        # divides the data mesh axis evenly
+        per_proc = max(1, self.mesh.shape[DATA_AXIS] // jax.process_count())
+        padded = pad_batch_rows(batch, per_proc)
         return padded, shard_batch(self.mesh, padded)
+
+    def _fetch_local(self, x):
+        """Fetch this process's rows of a batch-sharded step output (viterbi
+        paths etc.) for the host-side meter updates."""
+        from ..parallel import to_host_local
+
+        return to_host_local(self.mesh, x)
 
     # ------------------------------------------------------------------
     # meters helpers
@@ -406,8 +417,8 @@ class Trainer:
         return ctc_collapse([toks], blank)[0]
 
     def _update_edit_meters(self, ds_meters, vit, elen, batch):
-        vit = np.asarray(vit)
-        elen = np.asarray(elen)
+        vit = self._fetch_local(vit)
+        elen = self._fetch_local(elen)
         tgts = np.asarray(batch["target"])
         tlens = np.asarray(batch["target_len"])
         sidx = np.asarray(batch["sample_idx"])
