@@ -148,3 +148,60 @@ def test_s2s_e2e_train(tmp_path):
     tr = Trainer(cfg)
     tr.run()
     assert tr.updates == 30
+
+
+def test_decoderattnround_multi_round(toy):
+    """--decoderattnround=2 (sota/2019 *_s2s cfgs): two chained
+    (GRU stack + attention) rounds per output step, each with its own
+    parameters — behavior must actually change, not just be accepted."""
+    em, targets, elen, tlen = toy
+    crit1 = make_crit("gru")
+    crit2 = make_crit("gru", n_rounds=2)
+    k = jax.random.PRNGKey(0)
+    args = (jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen), jnp.asarray(tlen))
+    p1 = crit1.init(k, *args)
+    p2 = crit2.init(k, *args)
+    # round-1 modules exist and round-0 names are unchanged
+    assert "gru0" in p2["params"] and "gru_r1_0" in p2["params"]
+    n1 = sum(x.size for x in jax.tree.leaves(p1))
+    n2 = sum(x.size for x in jax.tree.leaves(p2))
+    assert n2 > n1
+    # loss is finite and differs from the single-round criterion
+    l1 = np.asarray(crit1.apply(p1, *args))
+    l2 = np.asarray(crit2.apply(p2, *args))
+    assert np.isfinite(l2).all()
+    assert not np.allclose(l1, l2)
+    # greedy decode runs with the multi-round state
+    toks, lens = crit2.apply(p2, jnp.asarray(em), jnp.asarray(elen),
+                             method="greedy_path")
+    assert toks.shape[0] == em.shape[0]
+    assert np.asarray(lens).max() <= 12
+
+
+def test_decoderattnround_overfits(toy):
+    """Multi-round decoder can still learn the toy mapping (grads flow
+    through both rounds)."""
+    import optax
+
+    em, targets, elen, tlen = toy
+    crit = make_crit("gru", n_rounds=2, pct_teacher_forcing=100.0)
+    args = (jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen), jnp.asarray(tlen))
+    params = crit.init(jax.random.PRNGKey(1), *args)
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            return crit.apply(p, *args).mean()
+
+        l, g = jax.value_and_grad(lf)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, l
+
+    first = None
+    for _ in range(150):
+        params, opt, l = step(params, opt)
+        if first is None:
+            first = float(l)
+    assert float(l) < 0.3 * first

@@ -48,6 +48,12 @@ class S2SConfig:
     pad_idx: int
     hidden: int = 256
     n_layers: int = 1
+    # --decoderattnround: N (RNN stack + attention) rounds chained per output
+    # step, each with its own parameters/hidden state — reference builds one
+    # attention per round (slimIPL/src/Train.cpp:413-431) and threads the
+    # count into Seq2SeqCriterion and the beam amUpdate
+    # (cpc/Decode.cpp:534-539)
+    n_rounds: int = 1
     attention: str = "content"  # content|keyvalue|neural
     attn_window: str = "no"
     pct_teacher_forcing: float = 100.0
@@ -69,6 +75,7 @@ class S2SConfig:
             pad_idx=n_classes - 1,
             hidden=cfg.encoderdim or 256,
             n_layers=max(1, cfg.decoderrnnlayer),
+            n_rounds=max(1, cfg.decoderattnround),
             attention={"content": "content", "keyvalue": "keyvalue"}.get(
                 cfg.attention, "neural"
             ),
@@ -116,20 +123,32 @@ class Seq2SeqCriterion(nn.Module):
     def setup(self):
         c = self.cfg
         self.embedding = nn.Embed(c.n_classes, c.hidden)
-        self.cells = [nn.GRUCell(c.hidden, name=f"gru{i}") for i in range(c.n_layers)]
+        # one RNN stack + one attention per round (round-0 names keep the
+        # single-round layout so existing checkpoints stay loadable)
+        self.cells = [
+            nn.GRUCell(c.hidden, name=f"gru{i}" if r == 0 else f"gru_r{r}_{i}")
+            for r in range(c.n_rounds)
+            for i in range(c.n_layers)
+        ]
         self.out = nn.Dense(c.n_classes)
         if c.attention == "neural":
-            self.attn_w = nn.Dense(c.hidden)
-            self.attn_v = nn.Dense(1)
+            self.attn_ws = [
+                nn.Dense(c.hidden, name="attn_w" if r == 0 else f"attn_w_r{r}")
+                for r in range(c.n_rounds)
+            ]
+            self.attn_vs = [
+                nn.Dense(1, name="attn_v" if r == 0 else f"attn_v_r{r}")
+                for r in range(c.n_rounds)
+            ]
 
     # -- attention ---------------------------------------------------------
-    def _attend(self, query, enc, mask):
+    def _attend(self, query, enc, mask, rnd: int = 0):
         c = self.cfg
         if c.attention == "neural":
             T = enc.shape[1]
             q = jnp.repeat(query[:, None], T, axis=1)
-            h = jnp.tanh(self.attn_w(jnp.concatenate([q, enc], axis=-1)))
-            scores = self.attn_v(h)[..., 0]
+            h = jnp.tanh(self.attn_ws[rnd](jnp.concatenate([q, enc], axis=-1)))
+            scores = self.attn_vs[rnd](h)[..., 0]
             keys = values = enc
         else:
             if c.attention == "keyvalue":
@@ -145,28 +164,39 @@ class Seq2SeqCriterion(nn.Module):
 
     # -- one decoder step --------------------------------------------------
     def decode_step(self, state, tok, enc, enc_mask, step_idx, windowed=False):
-        """state = (hiddens tuple, prev_peak); returns (state, logits)."""
+        """state = (hiddens tuple [n_rounds*n_layers], prev_peak);
+        returns (state, logits). Per round r: x -> round-r GRU stack ->
+        x += round-r attention summary; logits from the shared output
+        linear after the final round (multi-round chaining per
+        ``--decoderattnround``, slimIPL/src/Train.cpp:413-431)."""
         c = self.cfg
         hiddens, prev_peak = state
         x = self.embedding(tok)
-        new_h = []
-        for i, cell in enumerate(self.cells):
-            hi, x = cell(hiddens[i], x)
-            new_h.append(hi)
         mask = enc_mask
         if windowed and c.attn_window != "no":
             wm = window_mask(c.attn_window, step_idx, enc.shape[1], prev_peak, c)
             if wm is not None:
                 mask = mask & wm
         mask = mask | (~jnp.any(mask, axis=-1, keepdims=True))
-        summary, a = self._attend(x, enc, mask)
-        logits = self.out(summary + x)
+        new_h = []
+        a = None
+        for r in range(c.n_rounds):
+            for i in range(c.n_layers):
+                k = r * c.n_layers + i
+                hi, x = self.cells[k](hiddens[k], x)
+                new_h.append(hi)
+            summary, a = self._attend(x, enc, mask, rnd=r)
+            x = summary + x
+        logits = self.out(x)
         peak = jnp.argmax(a, axis=-1).astype(jnp.int32)
         return (tuple(new_h), peak), logits
 
     def init_state(self, batch: int, dtype=jnp.float32):
         c = self.cfg
-        hiddens = tuple(jnp.zeros((batch, c.hidden), dtype) for _ in range(c.n_layers))
+        hiddens = tuple(
+            jnp.zeros((batch, c.hidden), dtype)
+            for _ in range(c.n_rounds * c.n_layers)
+        )
         return (hiddens, jnp.zeros((batch,), jnp.int32))
 
     # -- training loss -----------------------------------------------------
