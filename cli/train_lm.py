@@ -80,10 +80,19 @@ def main():
 
     if cfg.rundir:
         os.makedirs(cfg.rundir, exist_ok=True)
-        from flax import serialization
+        # self-describing checkpoint (arch stored in the config) so decode
+        # can rebuild the model from --lm alone (reference ConvLM binaries
+        # are cereal-self-describing the same way)
+        from wav2letter_tpu.runtime.checkpoint import Checkpoint, save_checkpoint
 
-        with open(os.path.join(cfg.rundir, "lm_model.bin"), "wb") as f:
-            f.write(serialization.to_bytes(params))
+        save_checkpoint(
+            os.path.join(cfg.rundir, "lm_model.bin"),
+            Checkpoint(
+                config=cfg.serialize(), epoch=0, updates=upd_count,
+                model_params=params.get("params", params), model_state={},
+                crit_params={}, opt_state={}, crit_opt_state={}, extra={},
+            ),
+        )
         vocab.save(os.path.join(cfg.rundir, "lm_vocab.txt"))
         print(f"saved LM to {cfg.rundir}")
 

@@ -95,3 +95,46 @@ def test_convlm_scoring():
     # caching: same state+token -> same score
     _, s1b = lm.score(st, 0)
     assert s1 == s1b
+
+
+def test_lmtype_convlm_decode_path(tmp_path):
+    """--lmtype=convlm end-to-end through the decode executor's LM
+    selection: a self-describing LM checkpoint + --lm_vocab load into a
+    ConvLM whose beam scores match direct construction, and build_decoder
+    returns a Python decoder wired to it (Decode.cpp:249-277 parity)."""
+    import os
+
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.checkpoint import Checkpoint, save_checkpoint
+    from wav2letter_tpu.runtime.decode import make_decode_lm
+
+    arch = tmp_path / "lm.arch"
+    arch.write_text("\n".join(GCNN_LINES) + "\n")
+    vocab = [f"w{i}" for i in range(V - 2)] + ["</s>", "<unk>"]
+    (tmp_path / "lm_vocab.txt").write_text("\n".join(vocab) + "\n")
+
+    m = build()
+    p = m.init({"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(2)},
+               jnp.zeros((1, 4), jnp.int32))
+    lm_cfg = Config()
+    lm_cfg.update(dict(arch=str(arch)))
+    save_checkpoint(
+        str(tmp_path / "lm_model.bin"),
+        Checkpoint(config=lm_cfg.serialize(), epoch=0, updates=1,
+                   model_params=p["params"], model_state={}, crit_params={},
+                   opt_state={}, crit_opt_state={}, extra={}),
+    )
+
+    cfg = Config()
+    cfg.update(dict(lm=str(tmp_path / "lm_model.bin"), lmtype="convlm",
+                    lm_vocab=str(tmp_path / "lm_vocab.txt"), lm_memory=100))
+    lm = make_decode_lm(cfg, usr_vocab=["w0", "w1", "w2"])
+    ref = ConvLM(m, {"params": p["params"]}, vocab, usr_vocab=["w0", "w1", "w2"])
+    st_a, st_b = lm.start(False), ref.start(False)
+    for tok in (0, 1, 2, 1):
+        st_a, sa = lm.score(st_a, tok)
+        st_b, sb = ref.score(st_b, tok)
+        np.testing.assert_allclose(sa, sb, rtol=1e-5)
+    _, fa = lm.finish(st_a)
+    _, fb = ref.finish(st_b)
+    np.testing.assert_allclose(fa, fb, rtol=1e-5)

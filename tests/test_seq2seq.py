@@ -102,14 +102,19 @@ def test_label_smoothing_increases_loss(toy):
 
 
 def test_attention_window(toy):
+    """Window gating: window=True (pretrain phase / --trainWithWindow) must
+    actually constrain attention — the loss changes vs. the unwindowed run."""
     em, targets, elen, tlen = toy
-    crit = make_crit(attn_window="median", window_left=2, window_right=2)
-    p = crit.init(jax.random.PRNGKey(0), jnp.asarray(em), jnp.asarray(targets),
-                  jnp.asarray(elen), jnp.asarray(tlen), train=True)
-    l = crit.apply(p, jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen),
-                   jnp.asarray(tlen), train=True,
-                   rngs={"dropout": jax.random.PRNGKey(2)})
-    assert np.isfinite(np.asarray(l)).all()
+    crit = make_crit(attn_window="median", window_left=1, window_right=1)
+    args = (jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen),
+            jnp.asarray(tlen))
+    p = crit.init(jax.random.PRNGKey(0), *args, train=True)
+    l_win = crit.apply(p, *args, train=True, window=True,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    l_off = crit.apply(p, *args, train=True, window=False,
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(l_win)).all()
+    assert not np.allclose(np.asarray(l_win), np.asarray(l_off))
 
 
 def test_teacher_forcing_sampling(toy):
@@ -205,3 +210,55 @@ def test_decoderattnround_overfits(toy):
         if first is None:
             first = float(l)
     assert float(l) < 0.3 * first
+
+
+def test_transformer_decoder_dropout_layerdrop(toy):
+    """--am_decoder_tr_dropout / --am_decoder_tr_layerdrop change the
+    training loss stochastically (and are inert at eval)."""
+    em, targets, elen, tlen = toy
+    args = (jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen),
+            jnp.asarray(tlen))
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import S2SConfig, TransformerS2SCriterion
+
+    c = S2SConfig(n_classes=N, eos_idx=EOS, pad_idx=PAD, hidden=32,
+                  max_decoder_output_len=12)
+    crit = TransformerS2SCriterion(c, CriterionScaleMode.NONE, n_tr_layers=2,
+                                   tr_dropout=0.5, tr_layerdrop=0.5)
+    p = crit.init(jax.random.PRNGKey(0), *args)
+    # perturb away from the zero-init residual projections so the dropped
+    # branches actually carry signal
+    leaves, treedef = jax.tree.flatten(p)
+    ks = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    p = jax.tree.unflatten(
+        treedef,
+        [x + 0.05 * jax.random.normal(k, x.shape, x.dtype)
+         for x, k in zip(leaves, ks)],
+    )
+    l_eval = crit.apply(p, *args)  # eval: deterministic, no rng needed
+    l_a = crit.apply(p, *args, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    l_b = crit.apply(p, *args, train=True, rngs={"dropout": jax.random.PRNGKey(9)})
+    assert np.isfinite(np.asarray(l_eval)).all()
+    assert not np.allclose(np.asarray(l_a), np.asarray(l_b))  # stochastic
+    # rate 0 -> identical to eval
+    crit0 = TransformerS2SCriterion(c, CriterionScaleMode.NONE, n_tr_layers=2)
+    p0 = crit0.init(jax.random.PRNGKey(0), *args)
+    l0 = crit0.apply(p0, *args, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(l0),
+                               np.asarray(crit0.apply(p0, *args)), rtol=1e-6)
+
+
+def test_gumbel_sampling(toy):
+    """--samplingstrategy=gumbel draws scheduled-sampling tokens from the
+    model distribution at --gumbeltemperature."""
+    em, targets, elen, tlen = toy
+    args = (jnp.asarray(em), jnp.asarray(targets), jnp.asarray(elen),
+            jnp.asarray(tlen))
+    crit = make_crit(pct_teacher_forcing=0.0, sampling_strategy="gumbel",
+                     gumbel_temperature=0.5)
+    p = crit.init(jax.random.PRNGKey(0), *args)
+    l = crit.apply(p, *args, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(l)).all()
+    crit_r = make_crit(pct_teacher_forcing=0.0, sampling_strategy="rand")
+    l_r = crit_r.apply(p, *args, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(l), np.asarray(l_r))

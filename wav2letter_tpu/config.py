@@ -349,7 +349,34 @@ class Config:
             cfg.update(parse_cfg_file(ff))
         if cli:
             cfg.update(cli)
+        cfg.apply_runtime_flags()
         return cfg
+
+    def apply_runtime_flags(self) -> None:
+        """Honor process-level flags at CLI entry (gflags/glog parity):
+        --minloglevel/--logtostderr set the Python logging config
+        (glog levels: 0=INFO 1=WARNING 2=ERROR 3=FATAL);
+        --enable_distributed + --world_size>1 joins the jax.distributed
+        coordinator (replaces the reference's NCCL rendezvous,
+        ``cpc/Train.cpp:342-353`` — coordinator address/rank come from the
+        launcher env; --world_rank/--rndv_filepath are accepted for cfg
+        compatibility, superseded by the jax coordinator)."""
+        import logging
+        import sys as _sys
+
+        level = [logging.INFO, logging.WARNING, logging.ERROR, logging.FATAL][
+            min(max(int(self.minloglevel), 0), 3)
+        ]
+        h = logging.StreamHandler(_sys.stderr if self.logtostderr else None)
+        logging.basicConfig(level=level, handlers=[h], force=True)
+        if self.enable_distributed and self.world_size > 1:
+            import jax
+
+            if jax.process_count() == 1:  # not already initialized
+                try:
+                    jax.distributed.initialize()
+                except Exception as e:  # no coordinator env: single-process
+                    logging.warning("jax.distributed.initialize failed: %s", e)
 
     # -- serialization (checkpoint self-description) -----------------------
     def serialize(self) -> str:

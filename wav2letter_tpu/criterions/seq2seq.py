@@ -56,8 +56,14 @@ class S2SConfig:
     n_rounds: int = 1
     attention: str = "content"  # content|keyvalue|neural
     attn_window: str = "no"
+    # window pretraining (reference slimIPL/src/Train.cpp:1887-1903: a
+    # pretrain phase of --pretrainWindow updates runs with the window on,
+    # then clearWindow(); --trainWithWindow keeps it on afterwards)
+    train_with_window: bool = False
+    pretrain_window: int = 0
     pct_teacher_forcing: float = 100.0
     sampling_strategy: str = "rand"
+    gumbel_temperature: float = 1.0
     label_smooth: float = 0.0
     dropout: float = 0.0
     max_decoder_output_len: int = 200
@@ -80,8 +86,11 @@ class S2SConfig:
                 cfg.attention, "neural"
             ),
             attn_window=cfg.attnWindow,
+            train_with_window=cfg.trainWithWindow,
+            pretrain_window=cfg.pretrainWindow,
             pct_teacher_forcing=cfg.pctteacherforcing,
             sampling_strategy=cfg.samplingstrategy,
+            gumbel_temperature=cfg.gumbeltemperature or 1.0,
             label_smooth=cfg.labelsmooth,
             dropout=cfg.decoderdropout,
             max_decoder_output_len=cfg.maxdecoderoutputlen,
@@ -200,7 +209,12 @@ class Seq2SeqCriterion(nn.Module):
         return (hiddens, jnp.zeros((batch,), jnp.int32))
 
     # -- training loss -----------------------------------------------------
-    def __call__(self, emissions, targets, emis_len, target_len, train: bool = False):
+    def __call__(self, emissions, targets, emis_len, target_len,
+                 train: bool = False, window: bool = False):
+        """``window``: attention window active this step — the trainer gates
+        it host-side per reference semantics (on while
+        nupdates < --pretrainWindow, or always when --trainWithWindow;
+        slimIPL/src/Train.cpp:1887-1903)."""
         c = self.cfg
         B, T, _ = emissions.shape
         U = targets.shape[1]
@@ -218,9 +232,7 @@ class Seq2SeqCriterion(nn.Module):
         tf_rng = None
         if train and c.pct_teacher_forcing < 100.0:
             tf_rng = self.make_rng("dropout")
-        use_window = c.attn_window not in ("no",) and (
-            train and c.attn_window != "softPretrain" or c.attn_window == "softPretrain"
-        )
+        use_window = window and train and c.attn_window not in ("no", "")
 
         def body(carry, u):
             state, prev_tok = carry
@@ -234,6 +246,14 @@ class Seq2SeqCriterion(nn.Module):
                 )
                 if c.sampling_strategy == "model":
                     sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                elif c.sampling_strategy == "gumbel":
+                    # Gumbel sampling from the model distribution at
+                    # --gumbeltemperature (reference kGumbelSampling)
+                    sampled = jax.random.categorical(
+                        jax.random.fold_in(tf_rng, 20000 + u),
+                        logits.astype(jnp.float32) / c.gumbel_temperature,
+                        axis=-1,
+                    ).astype(jnp.int32)
                 else:
                     sampled = jax.random.randint(
                         jax.random.fold_in(tf_rng, 10000 + u), (B,), 0, c.n_classes
@@ -300,6 +320,8 @@ class TransformerS2SCriterion(nn.Module):
     scale_mode: CriterionScaleMode = CriterionScaleMode.NONE
     n_tr_layers: int = 2
     n_heads: int = 4
+    tr_dropout: float = 0.0  # --am_decoder_tr_dropout
+    tr_layerdrop: float = 0.0  # --am_decoder_tr_layerdrop
 
     @classmethod
     def from_config(cls, cfg, n_classes: int):
@@ -307,6 +329,8 @@ class TransformerS2SCriterion(nn.Module):
             S2SConfig.from_flags(cfg, n_classes),
             get_scale_mode(cfg.onorm, cfg.sqnorm),
             n_tr_layers=max(1, cfg.am_decoder_tr_layers),
+            tr_dropout=cfg.am_decoder_tr_dropout,
+            tr_layerdrop=cfg.am_decoder_tr_layerdrop,
         )
 
     def setup(self):
@@ -348,21 +372,49 @@ class TransformerS2SCriterion(nn.Module):
         B, H, Lq, _ = o.shape
         return o_proj(o.transpose(0, 2, 1, 3).reshape(B, Lq, H * dh))
 
-    def _decode_all(self, dec_in, enc, enc_mask):
+    def _drop(self, x, train):
+        """--am_decoder_tr_dropout on the residual branches (train only)."""
+        if not train or self.tr_dropout <= 0:
+            return x
+        keep = 1.0 - self.tr_dropout
+        m = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        return jnp.where(m, x / keep, jnp.zeros((), x.dtype))
+
+    def _layer_scale(self, train):
+        """--am_decoder_tr_layerdrop: whole-layer Bernoulli drop."""
+        if not train or self.tr_layerdrop <= 0:
+            return 1.0
+        drop = jax.random.bernoulli(self.make_rng("dropout"), self.tr_layerdrop)
+        return jnp.where(drop, 0.0, 1.0)
+
+    def _decode_all(self, dec_in, enc, enc_mask, train=False, window=False):
         c = self.cfg
         U1 = dec_in.shape[1]
         x = self.embedding(dec_in) + _sinusoid(U1, c.hidden, enc.dtype)[None]
         causal = jnp.tril(jnp.ones((U1, U1), bool))[None, None]
         cmask = enc_mask[:, None, None, :]
+        if window and train and c.attn_window in ("soft", "softPretrain", "step"):
+            # per-output-step encoder window on the cross-attention (the
+            # vectorizable kinds; `median` needs the sequential peak and only
+            # applies to the RNN criterion's stepwise path)
+            wm = window_mask(
+                c.attn_window, jnp.arange(U1)[:, None], enc.shape[1],
+                jnp.zeros((1,), jnp.int32), c,
+            )  # (U1, T)
+            cmask = cmask & wm[None, None]
+            cmask = cmask | (~jnp.any(cmask, axis=-1, keepdims=True))
         for i in range(self.n_tr_layers):
+            f = self._layer_scale(train)
             h = self.ln1[i](x)
-            x = x + self._attend(self.sq[i](h), self.sk[i](h), self.sv[i](h),
-                                 causal, self.so[i])
+            x = x + f * self._drop(
+                self._attend(self.sq[i](h), self.sk[i](h), self.sv[i](h),
+                             causal, self.so[i]), train)
             h = self.ln2[i](x)
-            x = x + self._attend(self.cq[i](h), self.ck[i](enc), self.cv[i](enc),
-                                 cmask, self.co[i])
+            x = x + f * self._drop(
+                self._attend(self.cq[i](h), self.ck[i](enc), self.cv[i](enc),
+                             cmask, self.co[i]), train)
             h = self.ln3[i](x)
-            x = x + self.ff2[i](jax.nn.gelu(self.ff1[i](h)))
+            x = x + f * self._drop(self.ff2[i](jax.nn.gelu(self.ff1[i](h))), train)
         return self.out(x)
 
     # -- incremental decoding (KV cache) -----------------------------------
@@ -404,7 +456,8 @@ class TransformerS2SCriterion(nn.Module):
         new_state = {"k": kc, "v": vc, "pos": state["pos"] + 1}
         return new_state, logits
 
-    def __call__(self, emissions, targets, emis_len, target_len, train: bool = False):
+    def __call__(self, emissions, targets, emis_len, target_len,
+                 train: bool = False, window: bool = False):
         c = self.cfg
         B, T, _ = emissions.shape
         U = targets.shape[1]
@@ -412,7 +465,8 @@ class TransformerS2SCriterion(nn.Module):
         tgt_in = jnp.where(targets < 0, c.pad_idx, targets)
         sos = jnp.full((B, 1), c.eos_idx, jnp.int32)
         dec_in = jnp.concatenate([sos, tgt_in], axis=1)
-        logits = self._decode_all(dec_in, emissions, enc_mask)
+        logits = self._decode_all(dec_in, emissions, enc_mask, train=train,
+                                  window=window)
         return Seq2SeqCriterion._nll(self, logits, tgt_in, target_len, emis_len)
 
     def greedy_path(self, emissions, emis_len):

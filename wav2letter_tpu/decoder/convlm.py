@@ -13,6 +13,7 @@ prefixes, so hit rates are high (the role ``--lm_memory`` plays upstream).
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -89,3 +90,40 @@ def load_lm_vocab(path: str) -> List[str]:
     """``--lm_vocab`` file: one token per line, index = line number."""
     with open(path) as f:
         return [l.strip().split()[0] for l in f if l.strip()]
+
+
+def load_convlm(
+    model_path: str,
+    lm_vocab_path: str,
+    usr_vocab: Optional[Sequence[str]] = None,
+    lm_memory: int = 10000,
+) -> ConvLM:
+    """Build a decode-time ConvLM from a self-describing LM checkpoint
+    (written by ``cli/train_lm.py``) + ``--lm_vocab`` file — the
+    ``--lmtype=convlm`` path of the decode executor
+    (reference Decode.cpp:249-277: loadPrefetchDataset-free GPU ConvLM with
+    lm_vocab mapping and lm_memory cache)."""
+    from ..config import Config
+    from ..models.lm import build_lm_model
+    from ..runtime.checkpoint import load_checkpoint
+
+    if not lm_vocab_path:
+        raise ValueError("--lmtype=convlm requires --lm_vocab")
+    vocab = load_lm_vocab(lm_vocab_path)
+    ckpt = load_checkpoint(model_path)
+    lm_cfg = Config.deserialize(ckpt.config)
+    arch = os.path.join(lm_cfg.archdir, lm_cfg.arch) if lm_cfg.archdir else lm_cfg.arch
+    # lm_vocab.txt written by train_lm already includes </s> and <unk>
+    model = build_lm_model(arch, len(vocab))
+    from flax import serialization
+
+    dummy = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    params = {
+        "params": serialization.from_state_dict(dummy["params"], ckpt.model_params)
+    }
+    return ConvLM(
+        model, params, vocab=vocab, usr_vocab=usr_vocab, lm_memory=lm_memory
+    )

@@ -36,6 +36,28 @@ from .meters import DatasetMeters
 from .test import Evaluator
 
 
+def make_decode_lm(cfg, usr_vocab):
+    """LM selection per ``--lmtype`` (reference Decode.cpp:242-277):
+    ``kenlm`` (default; ARPA or binary n-gram) or ``convlm`` (neural GCNN LM
+    forwarded on device with ``--lm_vocab`` mapping and an ``--lm_memory``
+    score cache). ``--lmdict``: explicit LM dictionary — usr tokens are
+    scored through its entries (tokens absent from it score as <unk>)."""
+    if not cfg.lm:
+        return ZeroLM()
+    if cfg.lmdict:
+        from ..data.dictionary import Dictionary
+
+        lmd = Dictionary.from_file(cfg.lmdict)
+        usr_vocab = [w if lmd.contains(w) else "<unk>" for w in (usr_vocab or [])]
+    if cfg.lmtype == "convlm":
+        from ..decoder.convlm import load_convlm
+
+        return load_convlm(
+            cfg.lm, cfg.lm_vocab, usr_vocab=usr_vocab, lm_memory=cfg.lm_memory
+        )
+    return KenLM(cfg.lm, usr_vocab=usr_vocab)
+
+
 def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
     """Construct the decoder per flags (reference Decode.cpp:242-624).
     Prefers the native C++ core when it builds; falls back to Python."""
@@ -49,7 +71,11 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
 
     word_dict = make_word_dict(lexicon) if lexicon else None
 
-    if use_native:
+    # ConvLM scoring runs in Python/JAX; the native core scores n-gram LMs
+    # in-process and cannot call back per-hypothesis, so convlm pins the
+    # Python beam (reference instead pins one GPU per decoder thread,
+    # Decode.cpp:494-517)
+    if use_native and cfg.lmtype != "convlm":
         try:
             return _build_native_decoder(
                 cfg, opts, token_dict, lexicon, word_dict, transitions,
@@ -58,13 +84,12 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
         except Exception:
             pass  # fall back to the Python implementation
 
-    lm = ZeroLM()
-    if cfg.lm:
-        if word_level_lm:
-            vocab = word_dict.entries() if word_dict else None
-            lm = KenLM(cfg.lm, usr_vocab=vocab)
-        else:
-            lm = KenLM(cfg.lm, usr_vocab=token_dict.entries())
+    vocab = (
+        (word_dict.entries() if word_dict else None)
+        if word_level_lm
+        else token_dict.entries()
+    )
+    lm = make_decode_lm(cfg, vocab)
 
     if use_lexicon:
         trie = Trie(n_tokens)
@@ -191,9 +216,18 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     sclite_rows: List[tuple] = []
     beam_dump: Dict[str, list] = {}
 
-    def producer():
+    # --nthread_decoder_am_forward producer threads, each forwarding a
+    # disjoint stripe of the batch list (reference Decode.cpp:362-453 runs
+    # one GPU per producer; here all stripes share the one TPU — XLA
+    # serializes device work while host-side featurize/fetch overlaps)
+    n_producers = max(1, cfg.get("nthread_decoder_am_forward") or 1)
+    producers_left = [n_producers]
+    producers_left_lock = threading.Lock()
+
+    def producer(stripe=0):
         emission_dir = cfg.get("emission_dir") or ""
-        it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
+        specs = ds.batch_specs()[stripe::n_producers]
+        it = PrefetchIterator(ds, specs, num_threads=max(1, ecfg.nthread))
         for batch in it:
             # emission cache (reference --emission_dir, Decode.cpp:444-450):
             # load pre-computed emissions when present, else forward + save
@@ -221,8 +255,13 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                         os.makedirs(emission_dir, exist_ok=True)
                         np.savez(os.path.join(emission_dir, f"{sid}.npz"), emission=e)
                 emq.put((sid, e, [int(t) for t in batch["target"][i, :tl]]))
-        for _ in range(max(1, ecfg.nthread_decoder)):
-            emq.put(None)
+        # last producer standing enqueues the consumer end-sentinels
+        with producers_left_lock:
+            producers_left[0] -= 1
+            done = producers_left[0] == 0
+        if done:
+            for _ in range(max(1, ecfg.nthread_decoder)):
+                emq.put(None)
 
     is_s2s = ecfg.criterion in ("seq2seq", "transformer")
 
@@ -239,11 +278,10 @@ def run_decode(cfg: Config) -> Dict[str, float]:
 
             word_dict = _mwd(ev.lexicon) if ev.lexicon else None
             s2s_opts = _DO.from_config(ecfg)
-            s2s_lm = (
-                KenLM(ecfg.lm, usr_vocab=(
-                    word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
-                    else ev.token_dict.entries()))
-                if ecfg.lm else ZeroLM()
+            s2s_lm = make_decode_lm(
+                ecfg,
+                word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
+                else ev.token_dict.entries(),
             )
             s2s_trie = None
             if ecfg.uselexicon and ev.lexicon:
@@ -372,15 +410,20 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     )
                     print(f"|t|: {' '.join(toks)}")
 
-    pt = threading.Thread(target=producer, daemon=True)
-    pt.start()
+    pts = [
+        threading.Thread(target=producer, args=(s,), daemon=True)
+        for s in range(n_producers)
+    ]
+    for pt in pts:
+        pt.start()
     threads = [
         threading.Thread(target=consumer, daemon=True)
         for _ in range(max(1, ecfg.nthread_decoder))
     ]
     for t in threads:
         t.start()
-    pt.join()
+    for pt in pts:
+        pt.join()
     for t in threads:
         t.join()
 

@@ -244,8 +244,18 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
+    def _window_active(self) -> bool:
+        """Attention-window gate for s2s criterions (host-side, per update):
+        on during the --pretrainWindow pretrain phase, or always with
+        --trainWithWindow (reference slimIPL/src/Train.cpp:1887-1903 runs a
+        windowed pretrain block then clearWindow())."""
+        cfg = self.cfg
+        if not self.is_s2s or cfg.attnWindow in ("", "no"):
+            return False
+        return bool(cfg.trainWithWindow) or self.updates < cfg.pretrainWindow
+
     def _loss_fn(self, model_params, crit_params, model_state, batch, rng, saug_on, train,
-                 specaug="default"):
+                 specaug="default", window=False):
         saug_mod = self.specaug if specaug == "default" else specaug
         feats, flen = self.featurizer(batch["audio"], batch["audio_len"])
         if saug_mod is not None and train:
@@ -278,6 +288,9 @@ class Trainer:
             fwd = jax.checkpoint(fwd)
         em, elen, new_state = fwd(model_params, feats)
         em = em.astype(jnp.float32)
+        crit_kw = {}
+        if self.is_s2s:
+            crit_kw["window"] = window
         losses = self.criterion.apply(
             {"params": crit_params},
             em,
@@ -285,12 +298,14 @@ class Trainer:
             elen,
             batch["target_len"],
             train=train,
+            rngs={"dropout": jax.random.fold_in(rng, 2)} if train else None,
+            **crit_kw,
         )
         rm = batch["row_mask"]
         loss = jnp.sum(losses * rm) / jnp.maximum(jnp.sum(rm), 1.0)
         return loss, (em, elen, new_state)
 
-    def _make_train_step(self, specaug="default"):
+    def _make_train_step(self, specaug="default", window=False):
         cfg = self.cfg
 
         def step(model_params, crit_params, model_state, net_opt, crit_opt,
@@ -298,7 +313,7 @@ class Trainer:
             def scaled_loss(mp, cp):
                 loss, aux = self._loss_fn(
                     mp, cp, model_state, batch, rng, saug_on, True,
-                    specaug=specaug,
+                    specaug=specaug, window=window,
                 )
                 return loss * amp_scale, (loss, aux)
 
@@ -487,9 +502,18 @@ class Trainer:
     # ------------------------------------------------------------------
     # main loop
     # ------------------------------------------------------------------
+    def _get_train_step(self):
+        """Step compiled per (window) variant — at most two compilations;
+        the pretrain->main window transition happens once."""
+        w = self._window_active()
+        if w not in self._train_steps:
+            self._train_steps[w] = self._make_train_step(window=w)
+        return self._train_steps[w]
+
     def run(self):
         cfg = self.cfg
-        self._train_step = self._make_train_step()
+        self._train_steps: Dict[bool, Any] = {}
+        self._train_step = self._get_train_step()
         self._eval_step = self._make_eval_step()
         log_path = os.path.join(self.rundir, f"{self.run_idx:03d}_log") if self.rundir else None
         cfg_path = os.path.join(self.rundir, f"{self.run_idx:03d}_config") if self.rundir else None
@@ -520,6 +544,7 @@ class Trainer:
                     and self.updates >= cfg.saug_start_update
                 )
                 batch, sb = self._prep(batch)
+                self._train_step = self._get_train_step()
                 (self.model_params, self.crit_params, self.model_state,
                  self.net_opt_state,
                  self.crit_opt_state, loss, finite, vit, elen) = self._train_step(
