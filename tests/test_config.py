@@ -58,3 +58,19 @@ def test_valid_sets():
     cfg = Config()
     cfg.update({"valid": "dev:/a/b.lst,other:/c/d.lst"})
     assert cfg.valid_sets() == [("dev", "/a/b.lst"), ("other", "/c/d.lst")]
+
+
+def test_runtime_flags_logging():
+    """--minloglevel/--logtostderr drive the Python logging setup (glog
+    parity); apply_runtime_flags runs at CLI config parse time."""
+    import logging
+
+    from wav2letter_tpu.config import Config
+
+    cfg = Config()
+    cfg.update(dict(minloglevel=2))
+    cfg.apply_runtime_flags()
+    assert logging.getLogger().level == logging.ERROR
+    cfg.update(dict(minloglevel=0, logtostderr=True))
+    cfg.apply_runtime_flags()
+    assert logging.getLogger().level == logging.INFO

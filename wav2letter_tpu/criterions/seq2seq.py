@@ -172,12 +172,16 @@ class Seq2SeqCriterion(nn.Module):
         return jnp.einsum("bt,bth->bh", attn, values), attn
 
     # -- one decoder step --------------------------------------------------
-    def decode_step(self, state, tok, enc, enc_mask, step_idx, windowed=False):
+    def decode_step(self, state, tok, enc, enc_mask, step_idx, windowed=False,
+                    dropout_rng=None):
         """state = (hiddens tuple [n_rounds*n_layers], prev_peak);
         returns (state, logits). Per round r: x -> round-r GRU stack ->
         x += round-r attention summary; logits from the shared output
         linear after the final round (multi-round chaining per
-        ``--decoderattnround``, slimIPL/src/Train.cpp:413-431)."""
+        ``--decoderattnround``, slimIPL/src/Train.cpp:413-431).
+        ``dropout_rng``: when given (training), --decoderdropout is applied
+        to each round's GRU output (upstream passes it as the decoder RNN
+        dropout)."""
         c = self.cfg
         hiddens, prev_peak = state
         x = self.embedding(tok)
@@ -194,6 +198,12 @@ class Seq2SeqCriterion(nn.Module):
                 k = r * c.n_layers + i
                 hi, x = self.cells[k](hiddens[k], x)
                 new_h.append(hi)
+            if dropout_rng is not None and c.dropout > 0:
+                keep = 1.0 - c.dropout
+                m = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, r), keep, x.shape
+                )
+                x = jnp.where(m, x / keep, jnp.zeros((), x.dtype))
             summary, a = self._attend(x, enc, mask, rnd=r)
             x = summary + x
         logits = self.out(x)
@@ -230,14 +240,17 @@ class Seq2SeqCriterion(nn.Module):
                 emissions, enc_mask, 0,
             )
         tf_rng = None
-        if train and c.pct_teacher_forcing < 100.0:
+        if train and (c.pct_teacher_forcing < 100.0 or c.dropout > 0):
             tf_rng = self.make_rng("dropout")
         use_window = window and train and c.attn_window not in ("no", "")
+        do_rng = tf_rng if (train and c.dropout > 0) else None
 
         def body(carry, u):
             state, prev_tok = carry
             state, logits = self.decode_step(
-                state, prev_tok, emissions, enc_mask, u, windowed=use_window
+                state, prev_tok, emissions, enc_mask, u, windowed=use_window,
+                dropout_rng=(jax.random.fold_in(do_rng, 500 + u)
+                             if do_rng is not None else None),
             )
             next_tok = dec_in[:, jnp.minimum(u + 1, U)]
             if tf_rng is not None:

@@ -68,12 +68,16 @@ class LengthBucketer:
 
         n = len(self.input_lengths)
         order = np.arange(n)
+        # Reference dataorder semantics: samples in the same --inputbinsize
+        # bin are considered equal-length; "input" keeps stable order inside
+        # a bin, "input_spiral" orders a bin by OUTPUT length (that is the
+        # spiral — binning must be the primary key or it is a no-op).
         if data_order == "input":
             keys = (self.input_lengths // max(1, input_bin_size)).astype(np.int64)
-            order = np.lexsort((self.input_lengths, keys))
+            order = np.lexsort((np.arange(n), keys))
         elif data_order == "input_spiral":
             keys = (self.input_lengths // max(1, input_bin_size)).astype(np.int64)
-            order = np.lexsort((self.target_lengths, self.input_lengths, keys))
+            order = np.lexsort((self.input_lengths, self.target_lengths, keys))
         elif data_order == "output_spiral":
             order = np.lexsort((self.input_lengths, self.target_lengths))
         self.order = order

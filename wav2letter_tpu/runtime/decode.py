@@ -204,7 +204,10 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     for k in ("lm", "lmweight", "wordscore", "silscore", "eosscore", "unkscore",
               "beamsize", "beamsizetoken", "beamthreshold", "smearing",
               "decodertype", "uselexicon", "logadd", "nthread_decoder", "sclite",
-              "show", "showletters", "isbeamdump"):
+              "show", "showletters", "isbeamdump", "smoothingtemperature",
+              "lmtype", "lm_vocab", "lm_memory", "lmdict",
+              "attentionthreshold", "hardselection", "softselection",
+              "use_completed_hyp", "emission_queue_size"):
         ecfg.update({k: cfg.get(k)})
 
     ds = AsrDataset(ecfg.test, ev.token_dict, ev.lexicon, ecfg, batch_size=ecfg.batchsize)
