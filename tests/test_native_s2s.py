@@ -1,0 +1,237 @@
+"""Differential tests: native C++ seq2seq beam decoder vs the Python
+reference (``decoder/seq2seq_beam.py``) — same update function, options,
+lexicon, and LM must give identical tokens/words and near-equal scores.
+
+The AM step is a deterministic host-side fake (a fixed random logits table
+indexed by (step, last_token)) so the beam dynamics — not the model — are
+what's compared; one end test runs the real overfit GRU criterion.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from wav2letter_tpu.decoder import (
+    ArpaLM,
+    CriterionType,
+    DecoderOptions,
+    SmearingMode,
+    Trie,
+    ZeroLM,
+)
+from wav2letter_tpu.decoder.seq2seq_beam import (
+    LexiconFreeSeq2SeqDecoder,
+    LexiconSeq2SeqDecoder,
+)
+
+native = pytest.importorskip("wav2letter_tpu.decoder.native")
+if not native.native_available():
+    pytest.skip("native extension unavailable", allow_module_level=True)
+
+from wav2letter_tpu.decoder.native import NativeLM, NativeTrie
+from wav2letter_tpu.decoder.s2s_native import NativeSeq2SeqDecoder
+
+V = 8
+EOS = 6
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.5\tab\t-0.3
+-0.8\tbc\t-0.2
+-1.5\t<unk>
+
+\\2-grams:
+-0.2\t<s> ab
+-0.4\tab bc
+-0.9\tbc </s>
+
+\\end\\
+"""
+
+
+def make_fake_update(seed=0, with_peaks=False, max_steps=16, v=V):
+    """Deterministic fake AM step: logp row depends on (step, last_token)."""
+    rng = np.random.RandomState(seed)
+    table = (rng.randn(max_steps, v, v) * 2.0).astype(np.float32)
+    table = table - np.log(np.exp(table).sum(-1, keepdims=True))  # log-softmax
+    peak_table = rng.randint(0, 30, (max_steps, v)).astype(np.int32)
+
+    def update(state, toks):
+        st = np.asarray(state)
+        toks = np.asarray(toks)
+        step = int(st[0])
+        logp = table[min(step, max_steps - 1), toks]
+        peaks = peak_table[min(step, max_steps - 1), toks] if with_peaks else None
+        new_state = np.full((len(toks),), step + 1, np.int32)
+        return new_state, logp, peaks
+
+    def init(k):
+        return np.zeros((k,), np.int32)
+
+    return update, init
+
+
+def run_both(opts, py_cls, py_args, nat_args, n_best=3, **kw):
+    py = py_cls(opts, *py_args, **kw)
+    nat = NativeSeq2SeqDecoder(opts, *nat_args, **kw)
+    return py.decode(n_best=n_best), nat.decode(n_best=n_best)
+
+
+def assert_match(py_res, nat_res):
+    assert len(py_res) == len(nat_res)
+    for p, n in zip(py_res, nat_res):
+        assert p.tokens == n.tokens
+        assert p.words == n.words
+        assert p.completed == n.completed
+        assert abs(p.score - n.score) < 1e-3, (p.score, n.score)
+        assert abs(p.am_score - n.am_score) < 1e-3
+        assert abs(p.lm_score - n.lm_score) < 1e-3
+
+
+def test_lexicon_free_no_lm():
+    for seed in range(5):
+        fn, init = make_fake_update(seed)
+        opts = DecoderOptions(beam_size=6, beam_size_token=4,
+                              beam_threshold=20.0, eos_score=-0.3,
+                              criterion_type=CriterionType.S2S)
+        py, nat = run_both(
+            opts, LexiconFreeSeq2SeqDecoder,
+            (EOS, fn, init), (EOS, fn, init), max_output_len=8,
+        )
+        assert_match(py, nat)
+
+
+def test_lexicon_free_token_lm(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    # token "LM": tokens 0..V map onto the tiny word vocab
+    vocab = ["ab", "bc", "<unk>", "ab", "bc", "<unk>", "ab", "bc"]
+    pylm = ArpaLM(str(p), usr_vocab=vocab)
+    natlm = NativeLM(str(p), usr_vocab=vocab)
+    for seed in (1, 2):
+        fn, init = make_fake_update(seed)
+        opts = DecoderOptions(beam_size=5, beam_size_token=5,
+                              beam_threshold=30.0, lm_weight=1.7,
+                              criterion_type=CriterionType.S2S)
+        py, nat = run_both(
+            opts, LexiconFreeSeq2SeqDecoder,
+            (EOS, fn, init, pylm), (EOS, fn, init, natlm), max_output_len=7,
+        )
+        assert_match(py, nat)
+
+
+def _tries():
+    spellings = [([0, 1], 0), ([1, 2], 1), ([0, 1, 2], 2), ([3], 3), ([4, 4], 4)]
+    pytrie = Trie(V)
+    nattrie = NativeTrie(V)
+    for sp, w in spellings:
+        pytrie.insert(sp, w, 0.0)
+        nattrie.insert(sp, w, 0.0)
+    pytrie.smear(SmearingMode.NONE)
+    nattrie.smear("none")
+    return pytrie, nattrie
+
+
+def test_lexicon_word_lm(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    words = ["ab", "bc", "<unk>", "ab", "bc"]
+    pylm = ArpaLM(str(p), usr_vocab=words)
+    natlm = NativeLM(str(p), usr_vocab=words)
+    pytrie, nattrie = _tries()
+    for seed in (0, 3):
+        fn, init = make_fake_update(seed)
+        opts = DecoderOptions(beam_size=6, beam_size_token=6,
+                              beam_threshold=40.0, lm_weight=1.2,
+                              word_score=0.7, eos_score=0.2,
+                              criterion_type=CriterionType.S2S)
+        py = LexiconSeq2SeqDecoder(opts, pytrie, pylm, EOS, fn, init,
+                                   word_sep_idx=5, max_output_len=8)
+        nat = NativeSeq2SeqDecoder(opts, EOS, fn, init, lm=natlm, trie=nattrie,
+                                   word_sep_idx=5, max_output_len=8)
+        assert_match(py.decode(n_best=3), nat.decode(n_best=3))
+
+
+def test_attention_threshold_pruning():
+    for seed in (0, 4):
+        fn, init = make_fake_update(seed, with_peaks=True)
+        opts = DecoderOptions(beam_size=5, beam_size_token=4,
+                              beam_threshold=25.0,
+                              criterion_type=CriterionType.S2S)
+        py, nat = run_both(
+            opts, LexiconFreeSeq2SeqDecoder, (EOS, fn, init), (EOS, fn, init),
+            max_output_len=8, attention_threshold=12.0,
+        )
+        assert_match(py, nat)
+
+
+def test_hard_soft_selection():
+    for seed in (2, 5):
+        fn, init = make_fake_update(seed)
+        opts = DecoderOptions(beam_size=8, beam_size_token=6,
+                              beam_threshold=50.0,
+                              criterion_type=CriterionType.S2S)
+        py, nat = run_both(
+            opts, LexiconFreeSeq2SeqDecoder, (EOS, fn, init), (EOS, fn, init),
+            max_output_len=6, hard_selection=1.5, soft_selection=6.0,
+        )
+        assert_match(py, nat)
+
+
+def test_real_criterion_overfit_native_matches_python():
+    """Native decoder on the real (jitted) GRU s2s criterion recovers the
+    overfit targets and matches the Python decoder exactly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import S2SConfig, Seq2SeqCriterion
+    from wav2letter_tpu.decoder.seq2seq_beam import make_s2s_update_fn
+
+    N, eos, pad = 8, 6, 7
+    rng = np.random.RandomState(0)
+    B, T, H = 2, 6, 16
+    targets = np.array([[0, 1, 2, -1], [3, 4, -1, -1]], np.int32)
+    tlen = np.asarray([3, 2], np.int32)
+    em = rng.randn(B, T, H).astype(np.float32)
+    elen = np.asarray([6, 5], np.int32)
+    crit = Seq2SeqCriterion(
+        S2SConfig(n_classes=N, eos_idx=eos, pad_idx=pad, hidden=16,
+                  max_decoder_output_len=10),
+        CriterionScaleMode.NONE,
+    )
+    params = crit.init(jax.random.PRNGKey(1), jnp.asarray(em),
+                       jnp.asarray(targets), jnp.asarray(elen), jnp.asarray(tlen))
+    tx = optax.adam(2e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            return crit.apply(p, jnp.asarray(em), jnp.asarray(targets),
+                              jnp.asarray(elen), jnp.asarray(tlen)).mean()
+
+        l, g = jax.value_and_grad(lf)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, l
+
+    for _ in range(200):
+        params, opt, _ = step(params, opt)
+
+    opts = DecoderOptions(beam_size=4, beam_threshold=50.0,
+                          criterion_type=CriterionType.S2S)
+    for b in range(B):
+        fn, init = make_s2s_update_fn(crit, params["params"], em[b], int(elen[b]))
+        py = LexiconFreeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=10)
+        nat = NativeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=10)
+        pr, nr = py.decode()[0], nat.decode()[0]
+        want = [int(t) for t in targets[b][: tlen[b]]]
+        assert nr.tokens == want
+        assert pr.tokens == nr.tokens and abs(pr.score - nr.score) < 1e-3

@@ -206,10 +206,10 @@ class Seq2SeqDecoderBase:
                 _, s = self.lm.finish(h.lm_state)
                 sc += self.opts.lm_weight * s
                 lmsc += s
-            out.append((sc, h))
+            out.append((sc, lmsc, h))
         out.sort(key=lambda x: -x[0])
         results = []
-        for sc, h in out[:n_best]:
+        for sc, lmsc, h in out[:n_best]:
             results.append(
                 DecodeResult(sc, h.am_score, lmsc, h.words or [-1], h.tokens,
                              completed=was_completed)

@@ -89,6 +89,28 @@ def decoder_lib() -> ctypes.CDLL:
         c.c_int, c.POINTER(c.c_double),
     ]
     lib.w2l_decoder_prune.argtypes = [c.c_void_p, c.c_int]
+    lib.w2l_s2s_new.restype = c.c_void_p
+    lib.w2l_s2s_new.argtypes = [
+        c.c_int, c.c_int, c.c_double, c.c_double, c.c_double, c.c_double,
+        c.c_double, c.c_double, c.c_double, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int, c.POINTER(c.c_int32), c.c_int,
+    ]
+    lib.w2l_s2s_free.argtypes = [c.c_void_p]
+    lib.w2l_s2s_begin.argtypes = [c.c_void_p]
+    lib.w2l_s2s_step.restype = c.c_int
+    lib.w2l_s2s_step.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.POINTER(c.c_int32), c.c_int,
+        c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+    ]
+    lib.w2l_s2s_end.argtypes = [c.c_void_p]
+    lib.w2l_s2s_nhyps.restype = c.c_int
+    lib.w2l_s2s_nhyps.argtypes = [c.c_void_p]
+    lib.w2l_s2s_result.restype = c.c_int
+    lib.w2l_s2s_result.argtypes = [
+        c.c_void_p, c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int, c.POINTER(c.c_double), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),
+    ]
     return lib
 
 

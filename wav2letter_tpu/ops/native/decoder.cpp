@@ -27,6 +27,7 @@
 namespace {
 
 constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+constexpr double kInf = std::numeric_limits<double>::infinity();
 
 static inline double logadd(double a, double b) {
   if (a < b) std::swap(a, b);
@@ -913,6 +914,214 @@ struct Decoder {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Seq2Seq beam decoder (reference LexiconSeq2SeqDecoder /
+// LexiconFreeSeq2SeqDecoder, cpc/Decode.cpp:529-624). The attention-decoder
+// AM step runs as ONE batched jitted device call per output position, driven
+// from Python: each w2l_s2s_step consumes the (K, V) log-prob matrix for the
+// current beam and returns the next beam's last tokens + the state rows to
+// gather — control-inverted amUpdateFunc. All candidate generation, trie
+// constraint, n-gram LM scoring, and pruning (eosScore, attentionThreshold,
+// hard/soft selection, beamThreshold) happen here in C++. Semantics match
+// wav2letter_tpu/decoder/seq2seq_beam.py (differentially tested).
+// ---------------------------------------------------------------------------
+struct S2SOptions {
+  int beam_size = 10;
+  int beam_size_token = 1 << 30;
+  double beam_threshold = 1e30;
+  double lm_weight = 0.0;
+  double word_score = 0.0;
+  double eos_score = 0.0;
+  double attention_threshold = kInf;   // max allowed attention-peak jump
+  double hard_selection = kInf;        // cap cands at beam_size*hard_selection
+  double soft_selection = kInf;        // drop cands > soft below step best
+};
+
+struct S2SEntry {  // arena node: one emitted token (and possibly one word)
+  int parent;      // arena index of previous entry (-1 = sequence start)
+  int32_t token;
+  int32_t word;    // word emitted at this step (-1 none)
+};
+
+struct S2SHyp {
+  double score, am_score, lm_score;
+  int lm_state;    // LMStatePool id
+  int node;        // trie node (-1 lexicon-free)
+  int entry;       // arena index of last emitted token (-1 at start)
+  int row;         // which row of the *previous* device call this came from
+  int peak;        // attention peak frame recorded at creation
+  int32_t last_tok;
+  bool completed;
+};
+
+struct S2SDecoder {
+  S2SOptions opts;
+  Trie* trie = nullptr;      // null = lexicon-free
+  LMBase* lm = nullptr;      // null = zero LM
+  LMStatePool pool;
+  std::vector<int32_t> usr_to_lm;  // word idx (lexicon) / token idx (free) -> LM id
+  int eos = -1;
+  int word_sep = -1;
+  std::vector<S2SEntry> arena;
+  std::vector<S2SHyp> beam;
+  std::vector<S2SHyp> finished;
+  bool was_completed = false;
+  std::vector<int> top_buf;  // scratch for per-row top-k
+
+  int lm_start() {
+    if (!lm || lm->bos_id < 0) return pool.intern(nullptr, 0);
+    int32_t b = lm->bos_id;
+    return pool.intern(&b, 1);
+  }
+
+  std::pair<int, float> lm_extend(int state, int32_t usr_idx) {
+    if (!lm || opts.lm_weight == 0.0) return {state, 0.f};
+    int32_t w = (usr_idx >= 0 && usr_idx < (int)usr_to_lm.size())
+                    ? usr_to_lm[usr_idx]
+                    : usr_idx;
+    auto& h = pool.states[state];
+    float s = lm->score(h.data(), (int)h.size(), w);
+    std::vector<int32_t> nh(h);
+    nh.push_back(w);
+    int keep = std::max(0, lm->order - 1);
+    if ((int)nh.size() > keep) nh.erase(nh.begin(), nh.end() - keep);
+    return {pool.intern(nh.data(), (int)nh.size()), s};
+  }
+
+  void begin() {
+    arena.clear();
+    beam.clear();
+    finished.clear();
+    pool = LMStatePool();
+    was_completed = false;
+    beam.push_back(S2SHyp{0.0, 0.0, 0.0, lm_start(), trie ? 0 : -1, -1, 0, 0,
+                          (int32_t)eos, false});
+  }
+
+  // Consume the (K, V) log-prob matrix (+ optional per-row attention peaks)
+  // for the current beam; build the next beam. Returns new beam size
+  // (0 = decoding done). out_toks/out_rows sized >= beam_size by the caller.
+  int step(const float* logp, const int32_t* peaks, int K, int V,
+           int32_t* out_toks, int32_t* out_rows) {
+    struct Cand {
+      double score, am_score, lm_score;
+      int lm_state, node, src, peak;
+      int32_t token, word;
+    };
+    std::vector<Cand> cands;
+    int n_tok = std::min(opts.beam_size_token, V);
+    for (int bi = 0; bi < (int)beam.size() && bi < K; ++bi) {
+      const S2SHyp& hyp = beam[bi];
+      int pk = peaks ? (int)peaks[bi] : 0;
+      if (peaks && std::isfinite(opts.attention_threshold) &&
+          std::abs((double)(pk - hyp.peak)) > opts.attention_threshold)
+        continue;  // attention jumped implausibly far: prune all extensions
+      const float* row = logp + (size_t)bi * V;
+      top_buf.resize(V);
+      for (int i = 0; i < V; i++) top_buf[i] = i;
+      if (n_tok < V)
+        std::nth_element(top_buf.begin(), top_buf.begin() + n_tok,
+                         top_buf.end(),
+                         [&](int a, int b) { return row[a] > row[b]; });
+      for (int ti = 0; ti < n_tok; ++ti) {
+        int tok = top_buf[ti];
+        double sc = hyp.score + row[tok];
+        if (tok == eos) {
+          S2SHyp fh = hyp;
+          fh.score = sc + opts.eos_score;
+          fh.am_score = hyp.am_score + row[tok];
+          finished.push_back(fh);
+          continue;
+        }
+        Cand c{sc, hyp.am_score + row[tok], hyp.lm_score, hyp.lm_state,
+               hyp.node, bi, pk, (int32_t)tok, -1};
+        if (trie) {
+          int node = hyp.node < 0 ? 0 : hyp.node;
+          if (word_sep >= 0 && tok == word_sep) {
+            c.node = 0;  // word separator: back to root, nothing emitted
+          } else {
+            auto it = trie->nodes[node].children.find(tok);
+            if (it == trie->nodes[node].children.end()) continue;  // not a word prefix
+            const TrieNode& child = trie->nodes[it->second];
+            if (!child.labels.empty()) {
+              int w = child.labels[0];
+              c.word = w;
+              auto [ns, d] = lm_extend(hyp.lm_state, w);
+              c.lm_state = ns;
+              c.lm_score += d;
+              c.score += opts.lm_weight * d + opts.word_score;
+              c.node = 0;  // word complete: restart at root
+            } else {
+              c.node = it->second;
+            }
+          }
+        } else {  // lexicon-free: token-level LM shallow fusion
+          auto [ns, d] = lm_extend(hyp.lm_state, tok);
+          c.lm_state = ns;
+          c.lm_score += d;
+          c.score += opts.lm_weight * d;
+        }
+        cands.push_back(c);
+      }
+    }
+    if (cands.empty()) return 0;  // beam kept: end() falls back to it
+    std::sort(cands.begin(), cands.end(),
+              [](const Cand& a, const Cand& b) { return a.score > b.score; });
+    double best = cands[0].score;
+    size_t limit = cands.size();
+    if (std::isfinite(opts.hard_selection))
+      limit = std::min(limit, (size_t)std::max(
+          1, (int)(opts.beam_size * opts.hard_selection)));
+    std::vector<S2SHyp> nb;
+    // arena indices of the old beam (parents) must survive arena growth
+    std::vector<int> parent_entries(beam.size());
+    for (size_t i = 0; i < beam.size(); i++) parent_entries[i] = beam[i].entry;
+    for (size_t ci = 0; ci < limit && (int)nb.size() < opts.beam_size; ++ci) {
+      const Cand& c = cands[ci];
+      if (std::isfinite(opts.soft_selection) &&
+          c.score < best - opts.soft_selection)
+        break;  // cands sorted: everything after is also below the bar
+      if (c.score < best - opts.beam_threshold) break;
+      int e = (int)arena.size();
+      arena.push_back(S2SEntry{parent_entries[c.src], c.token, c.word});
+      nb.push_back(S2SHyp{c.score, c.am_score, c.lm_score, c.lm_state, c.node,
+                          e, c.src, c.peak, c.token, false});
+    }
+    beam = std::move(nb);
+    for (size_t i = 0; i < beam.size(); i++) {
+      out_toks[i] = beam[i].last_tok;
+      out_rows[i] = beam[i].row;
+    }
+    return (int)beam.size();
+  }
+
+  void end() {
+    was_completed = !finished.empty();
+    if (finished.empty()) finished = beam;
+    if (lm && opts.lm_weight != 0.0 && lm->eos_id >= 0) {
+      for (auto& h : finished) {
+        auto& hist = pool.states[h.lm_state];
+        float s = lm->score(hist.data(), (int)hist.size(), lm->eos_id);
+        h.score += opts.lm_weight * s;
+        h.lm_score += s;
+      }
+    }
+    std::sort(finished.begin(), finished.end(),
+              [](const S2SHyp& a, const S2SHyp& b) { return a.score > b.score; });
+    for (auto& h : finished) h.completed = was_completed;
+  }
+
+  void backtrack(const S2SHyp& h, std::vector<int32_t>& tokens,
+                 std::vector<int32_t>& words) const {
+    for (int e = h.entry; e >= 0; e = arena[e].parent) {
+      tokens.push_back(arena[e].token);
+      if (arena[e].word >= 0) words.push_back(arena[e].word);
+    }
+    std::reverse(tokens.begin(), tokens.end());
+    std::reverse(words.begin(), words.end());
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1068,6 +1277,70 @@ void w2l_decoder_prune(void* d_, int look_back) {
   for (size_t t = keep_from + 1; t < d->frames.size(); t++)
     nf.push_back(std::move(d->frames[t]));
   d->frames = std::move(nf);
+}
+
+// -- seq2seq beam ----------------------------------------------------------
+
+void* w2l_s2s_new(int beam_size, int beam_size_token, double beam_threshold,
+                  double lm_weight, double word_score, double eos_score,
+                  double attention_threshold, double hard_selection,
+                  double soft_selection, void* trie, void* lm, int eos_idx,
+                  int word_sep, const int32_t* usr_to_lm, int n_usr) {
+  auto* d = new S2SDecoder();
+  d->opts.beam_size = beam_size;
+  d->opts.beam_size_token = beam_size_token > 0 ? beam_size_token : (1 << 30);
+  d->opts.beam_threshold = beam_threshold;
+  d->opts.lm_weight = lm_weight;
+  d->opts.word_score = word_score;
+  d->opts.eos_score = eos_score;
+  d->opts.attention_threshold =
+      attention_threshold >= 1e29 ? kInf : attention_threshold;
+  d->opts.hard_selection = hard_selection >= 1e29 ? kInf : hard_selection;
+  d->opts.soft_selection = soft_selection >= 1e29 ? kInf : soft_selection;
+  d->trie = static_cast<Trie*>(trie);
+  d->lm = static_cast<LMBase*>(lm);
+  d->eos = eos_idx;
+  d->word_sep = word_sep;
+  if (usr_to_lm && n_usr > 0) d->usr_to_lm.assign(usr_to_lm, usr_to_lm + n_usr);
+  return d;
+}
+
+void w2l_s2s_free(void* d) { delete static_cast<S2SDecoder*>(d); }
+
+void w2l_s2s_begin(void* d) { static_cast<S2SDecoder*>(d)->begin(); }
+
+int w2l_s2s_step(void* d_, const float* logp, const int32_t* peaks, int K,
+                 int V, int32_t* out_toks, int32_t* out_rows) {
+  return static_cast<S2SDecoder*>(d_)->step(logp, peaks, K, V, out_toks,
+                                            out_rows);
+}
+
+void w2l_s2s_end(void* d) { static_cast<S2SDecoder*>(d)->end(); }
+
+int w2l_s2s_nhyps(void* d_) {
+  return (int)static_cast<S2SDecoder*>(d_)->finished.size();
+}
+
+// fills tokens/words; returns token count (words count goes to n_words);
+// score_out[3] = {score, am, lm}; completed flag to *completed
+int w2l_s2s_result(void* d_, int hyp_idx, int32_t* tokens, int32_t* words,
+                   int max_len, double* score_out, int32_t* n_words,
+                   int32_t* completed) {
+  auto* d = static_cast<S2SDecoder*>(d_);
+  if (hyp_idx >= (int)d->finished.size()) return -1;
+  const auto& h = d->finished[hyp_idx];
+  std::vector<int32_t> tk, wd;
+  d->backtrack(h, tk, wd);
+  int L = std::min((int)tk.size(), max_len);
+  for (int i = 0; i < L; i++) tokens[i] = tk[i];
+  int W = std::min((int)wd.size(), max_len);
+  for (int i = 0; i < W; i++) words[i] = wd[i];
+  *n_words = W;
+  score_out[0] = h.score;
+  score_out[1] = h.am_score;
+  score_out[2] = h.lm_score;
+  *completed = h.completed ? 1 : 0;
+  return L;
 }
 
 }  // extern "C"

@@ -281,14 +281,36 @@ def run_decode(cfg: Config) -> Dict[str, float]:
 
             word_dict = _mwd(ev.lexicon) if ev.lexicon else None
             s2s_opts = _DO.from_config(ecfg)
-            s2s_lm = make_decode_lm(
-                ecfg,
+            s2s_vocab = (
                 word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
-                else ev.token_dict.entries(),
+                else ev.token_dict.entries()
             )
+            # native C++ beam when the extension builds and the LM is n-gram
+            # (ConvLM scores on device -> Python beam, as in build_decoder)
+            s2s_native = False
+            if ecfg.lmtype != "convlm":
+                try:
+                    from ..decoder.native import (
+                        NativeLM, NativeTrie, native_available,
+                    )
+
+                    s2s_native = native_available()
+                except Exception:
+                    s2s_native = False
+            if s2s_native:
+                vocab = list(s2s_vocab)
+                if ecfg.lmdict:
+                    from ..data.dictionary import Dictionary as _Dict
+
+                    lmd = _Dict.from_file(ecfg.lmdict)
+                    vocab = [w if lmd.contains(w) else "<unk>" for w in vocab]
+                s2s_lm = NativeLM(ecfg.lm, usr_vocab=vocab) if ecfg.lm else None
+            else:
+                s2s_lm = make_decode_lm(ecfg, s2s_vocab)
             s2s_trie = None
             if ecfg.uselexicon and ev.lexicon:
-                s2s_trie = Trie(ev.n_classes)
+                s2s_trie = (NativeTrie(ev.n_classes) if s2s_native
+                            else Trie(ev.n_classes))
                 for w, sps in ev.lexicon.entries.items():
                     widx = word_dict.get_index(w)
                     for sp in sps:
@@ -296,7 +318,7 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                                if ev.token_dict.contains(t)]
                         if ids:
                             s2s_trie.insert(ids, widx, 0.0)
-                s2s_trie.smear(SmearingMode.NONE)
+                s2s_trie.smear("none" if s2s_native else SmearingMode.NONE)
         while True:
             item = emq.get()
             if item is None:
@@ -318,7 +340,14 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     hard_selection=ecfg.hardselection,
                     soft_selection=ecfg.softselection,
                 )
-                if s2s_trie is not None:
+                if s2s_native:
+                    from ..decoder.s2s_native import NativeSeq2SeqDecoder
+
+                    dec = NativeSeq2SeqDecoder(
+                        s2s_opts, eos, fn, init, lm=s2s_lm, trie=s2s_trie,
+                        max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
+                    )
+                elif s2s_trie is not None:
                     dec = LexiconSeq2SeqDecoder(
                         s2s_opts, s2s_trie, s2s_lm, eos, fn, init,
                         max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
