@@ -117,11 +117,14 @@ def test_rel_shift_matches_gather(T, bptt):
         rel = rel + bptt
         return a[..., jnp.asarray(np.arange(T)[:, None]), jnp.asarray(rel)]
 
-    got = jax.jit(lambda a: _rel_shift(a, T, bptt))(qp)
+    def shift(a):  # _rel_shift now takes the pre-sliced (…, T, 2T-1) window
+        return _rel_shift(a[..., bptt - T + 1 : bptt + T], T)
+
+    got = jax.jit(shift)(qp)
     want = gather_ref(qp)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(_rel_shift(a, T, bptt))))(qp)
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(shift(a))))(qp)
     g2 = jax.grad(lambda a: jnp.sum(jnp.sin(gather_ref(a))))(qp)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 

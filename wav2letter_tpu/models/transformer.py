@@ -68,19 +68,17 @@ class TFLinear(nn.Module):
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
-def _rel_shift(qp: Array, T: int, bptt: int) -> Array:
-    """Transformer-XL relative shift: qp (..., T, 2·bptt) -> (..., T, T)
-    with out[..., i, j] = qp[..., i, (j - i) + bptt], for T <= bptt.
+def _rel_shift(b: Array, T: int) -> Array:
+    """Transformer-XL relative shift: b (..., T, 2T-1) -> (..., T, T)
+    with out[..., i, j] = b[..., i, (j - i) + T - 1], for T <= bptt.
 
-    Pure slice/pad/reshape — no gather. Derivation: slice the used window
-    B = qp[..., :, bptt-T+1 : bptt+T] (width 2T-1) so that
-    out[i, j] = B[i, j - i + T - 1], then realize the per-row -i shift by
+    Pure slice/pad/reshape — no gather. Derivation: with
+    out[i, j] = b[i, j - i + T - 1], realize the per-row -i shift by
     flattening, dropping the first T-1 elements, and reshaping to rows of
     stride 2T-2 (out[i, j] = flat[i·(2T-2) + j]).
     """
     if T == 1:
-        return qp[..., bptt : bptt + 1]
-    b = qp[..., bptt - T + 1 : bptt + T]  # (..., T, 2T-1); b[i,k]=qp[i, k+bptt-T+1]
+        return b
     lead = b.shape[:-2]
     flat = b.reshape(lead + (T * (2 * T - 1),))[..., T - 1 : T - 1 + T * (2 * T - 2)]
     return flat.reshape(lead + (T, 2 * T - 2))[..., :T]
@@ -96,14 +94,20 @@ def _rel_position_bias(q: Array, pos_emb: Array, bptt: int) -> Array:
     j - i ∈ [-bptt, bptt-1] and **zero** outside that window (positions
     further than bptt away get no bias — not a clamped one).
 
-    Realized as a (T, 2·bptt) matmul (MXU) + relative shift (layout ops
-    only) when T <= bptt (the zero region is unreachable there, so the
-    shift is exact); masked-gather fallback for T > bptt.
+    Realized when T <= bptt as a (T, 2T-1) matmul (MXU) against only the
+    reachable window of the table — relative offsets span just
+    [-(T-1), T-1], i.e. rows bptt-T+1 .. bptt+T-1; contracting against the
+    full 2·bptt table wastes (2·bptt-2T+1)/(2·bptt) of the matmul (59% at
+    the sota/2019 T=188, bptt=460 shapes) — followed by the relative shift
+    (layout ops only; the zero region is unreachable there, so the shift
+    is exact). Masked-gather fallback for T > bptt.
     """
     T = q.shape[-2]
-    qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,2bptt)
     if T <= bptt:
-        return _rel_shift(qp, T, bptt)
+        win = pos_emb[bptt - T + 1 : bptt + T]  # (2T-1, Dh): offsets -(T-1)..T-1
+        qp = jnp.einsum("...td,rd->...tr", q, win.astype(q.dtype))
+        return _rel_shift(qp, T)
+    qp = jnp.einsum("...td,rd->...tr", q, pos_emb.astype(q.dtype))  # (...,T,2bptt)
     rel = np.arange(T)[None, :] - np.arange(T)[:, None]  # j - i
     valid = (rel >= -bptt) & (rel <= bptt - 1)  # outside the table -> 0 bias
     idx = np.clip(rel + bptt, 0, 2 * bptt - 1)  # (T,T) in [0, 2bptt)
