@@ -248,3 +248,88 @@ def test_kenlm_binary_rejects_garbage(tmp_path):
 
     with pytest.raises(ValueError):
         KenLM(str(bad))
+
+
+# ---------------------------------------------------------------------------
+# Quantized trie (.qt) format: small-footprint decode LM
+# ---------------------------------------------------------------------------
+
+def test_qt_roundtrip_scores_exact_small(tmp_path):
+    """With <=256 distinct prob/backoff values per order the equal-population
+    codebooks are exact: .qt scores must equal the ARPA reader's."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    from wav2letter_tpu.tools.ngram_lm import build_trie_binary
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    qt = tmp_path / "lm.qt"
+    build_trie_binary(str(arpa), str(qt))
+    pylm = ArpaLM(str(arpa))
+    qlm = KenLM(str(qt))
+    assert qlm.order == pylm.order
+    for sent in (["ab", "bc"], ["ab"], ["bc", "ab"], ["zz"], ["ab", "ab", "bc"]):
+        assert abs(pylm.score_sentence(sent) - qlm.score_sentence(sent)) < 1e-4
+
+
+def test_qt_quantization_error_bounded_and_smaller(tmp_path):
+    """Large LM (>256 distinct values): .qt sentence scores stay within the
+    8-bit quantization tolerance of the text ARPA, and the .qt file is
+    meaningfully smaller than the probing .bin."""
+    from wav2letter_tpu.tools.ngram_lm import (
+        build_binary, build_trie_binary, train_ngram_lm,
+    )
+    from wav2letter_tpu.decoder.lm import KenLM
+    import os
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "\n".join(" ".join(s) for s in _rand_corpus(rng, 3000, vocab)) + "\n"
+    )
+    arpa = tmp_path / "lm.arpa"
+    train_ngram_lm(str(corpus), str(arpa), order=3)
+    binp, qt = tmp_path / "lm.bin", tmp_path / "lm.qt"
+    build_binary(str(arpa), str(binp))
+    build_trie_binary(str(arpa), str(qt))
+
+    pylm = ArpaLM(str(arpa))
+    qlm = KenLM(str(qt))
+    errs = []
+    for sent in _rand_corpus(rng, 60, vocab + ["oovw"]):
+        py = pylm.score_sentence(sent)
+        qv = qlm.score_sentence(sent)
+        # per-word quantization error is bounded by the widest codebook bin
+        errs.append(abs(py - qv) / max(1, len(sent) + 1))
+    assert max(errs) < 0.05, f"max per-word quant error {max(errs)}"
+    assert os.path.getsize(qt) < os.path.getsize(binp) / 2.5, (
+        os.path.getsize(qt), os.path.getsize(binp)
+    )
+
+
+def test_qt_native_decode_matches_arpa(tmp_path):
+    """Native beam decode with --lm=*.qt must match the .arpa decode (the
+    codebooks are exact at this size)."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    from wav2letter_tpu.tools.ngram_lm import build_trie_binary
+
+    qt = tmp_path / "lm.qt"
+    build_trie_binary(str(arpa), str(qt))
+    for seed in (0, 1, 2):
+        em = rand_emissions(10, seed + 500)
+        da, _ = build_native(str(arpa))
+        dq, _ = build_native(str(qt))
+        ra = da.decode(em)[0]
+        rq = dq.decode(em)[0]
+        assert [w for w in ra.words if w >= 0] == [w for w in rq.words if w >= 0]
+        assert abs(ra.score - rq.score) < 1e-3
+
+
+def test_qt_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.qt"
+    bad.write_bytes(b"W2LQT\x01\x00\x00" + b"\xff" * 16)
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    with pytest.raises(ValueError):
+        KenLM(str(bad))

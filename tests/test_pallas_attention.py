@@ -1,0 +1,210 @@
+"""Fused Pallas attention kernel: exact-match (tolerance) against the XLA
+reference path in interpret mode — forward values and all gradients (q, k,
+v, pos window), masked and unmasked, aligned and ragged shapes; dropout
+statistics; and full-TR-layer equivalence fused-vs-unfused."""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2letter_tpu.ops.pallas.attention import fused_mhsa
+
+
+def ref_mhsa(q, k, v, pos_win, mask_bias, n_heads):
+    """Reference in f32: same math as models/transformer.py XLA path."""
+    B, T, HD = q.shape
+    Dh = HD // n_heads
+
+    def split(a):
+        return jnp.moveaxis(a.reshape(B, T, n_heads, Dh), -2, -3)
+
+    qs, ks, vs = split(q), split(k), split(v)  # (B, H, T, Dh)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qs, ks).astype(jnp.float32)
+    # rel bias: bias[i, j] = q_i . pos_win[(j - i) + T - 1]
+    qp = jnp.einsum("bhtd,rd->bhtr", qs, pos_win).astype(jnp.float32)
+    idx = np.arange(T)[None, :] - np.arange(T)[:, None] + T - 1
+    bias = jnp.take_along_axis(
+        qp, jnp.asarray(idx)[None, None], axis=-1
+    )
+    scores = scores + bias + mask_bias[:, None, None, :]
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, vs.astype(jnp.float32))
+    return jnp.moveaxis(out, -3, -2).reshape(B, T, HD)
+
+
+@pytest.mark.parametrize(
+    "B,T,H,Dh,masked",
+    [
+        (2, 16, 2, 128, False),
+        (2, 13, 2, 128, True),    # ragged T
+        (1, 40, 4, 64, True),     # Dh needing pad to 128
+        (3, 17, 1, 130, True),    # odd Dh
+    ],
+)
+def test_fused_matches_reference(B, T, H, Dh, masked):
+    rng = np.random.RandomState(B * 100 + T)
+    q = rng.randn(B, T, H * Dh).astype(np.float32) * 0.5
+    k = rng.randn(B, T, H * Dh).astype(np.float32) * 0.5
+    v = rng.randn(B, T, H * Dh).astype(np.float32) * 0.5
+    pos = rng.randn(2 * T - 1, Dh).astype(np.float32) * 0.1
+    if masked:
+        lens = rng.randint(max(1, T // 2), T + 1, B)
+        mask = (np.arange(T)[None] < lens[:, None])
+        mb = np.where(mask, 0.0, -1e30).astype(np.float32)
+    else:
+        mb = np.zeros((B, T), np.float32)
+
+    fused = functools.partial(
+        fused_mhsa, n_heads=H, dropout_rate=0.0, interpret=True
+    )
+    got = fused(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(pos), jnp.asarray(mb))
+    want = ref_mhsa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    jnp.asarray(pos), jnp.asarray(mb), H)
+    valid = np.asarray(mb) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=2e-5
+    )
+
+    # gradients of a scalar loss touching only valid rows
+    w = jnp.asarray(rng.randn(B, T, H * Dh).astype(np.float32)
+                    * valid[..., None])
+
+    def loss_fused(q, k, v, pos):
+        return jnp.sum(fused(q, k, v, pos, jnp.asarray(mb)) * w)
+
+    def loss_ref(q, k, v, pos):
+        return jnp.sum(ref_mhsa(q, k, v, pos, jnp.asarray(mb), H) * w)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)
+    )
+    for a, b, name in zip(gf, gr, "qkvp"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_dropout_statistics_and_determinism():
+    """In-kernel dropout: ~rate of entries dropped, survivors scaled by
+    1/(1-rate), same seed -> identical output, different seed -> different."""
+    B, T, H, Dh = 1, 32, 2, 128
+    rng = np.random.RandomState(0)
+    q = np.zeros((B, T, H * Dh), np.float32)  # uniform attention
+    k = np.zeros((B, T, H * Dh), np.float32)
+    v = rng.randn(B, T, H * Dh).astype(np.float32)
+    pos = np.zeros((2 * T - 1, Dh), np.float32)
+    mb = np.zeros((B, T), np.float32)
+    rate = 0.4
+
+    def run(seed, r=rate):
+        return np.asarray(fused_mhsa(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos),
+            jnp.asarray(mb), n_heads=H, dropout_rate=r,
+            seed=jnp.asarray([seed], jnp.int32), interpret=True,
+        ))
+
+    a, a2, b = run(7), run(7), run(1234)
+    np.testing.assert_array_equal(a, a2)
+    assert np.abs(a - b).max() > 1e-6
+    # with uniform attention and dropout, E[out] == mean(v); check the
+    # average kept fraction through the row sums of ones
+    ones_v = np.ones_like(v)
+    out = np.asarray(fused_mhsa(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(ones_v), jnp.asarray(pos),
+        jnp.asarray(mb), n_heads=H, dropout_rate=rate,
+        seed=jnp.asarray([99], jnp.int32), interpret=True,
+    ))
+    # each output elem = sum over kept keys of (1/T)/(1-rate): mean ~= 1
+    assert abs(out.mean() - 1.0) < 0.05
+
+
+@pytest.mark.parametrize("lead", ["b3", "1b4", "b14"])
+def test_tr_layer_module_fused_branch(monkeypatch, lead):
+    """The module's own fused branch (W2L_FUSED_ATTN=force -> interpret on
+    CPU) must match the XLA branch for every input rank the archs use:
+    (B,T,C), the standard arch (1,B,T,C), and the view-style (B,1,T,C)."""
+    from wav2letter_tpu.models.transformer import TransformerLayer
+
+    B, T, C, H, bptt = 2, 20, 64, 4, 32
+    layer = TransformerLayer(model_dim=C, mlp_dim=96, n_heads=H, bptt=bptt,
+                             dropout=0.0)
+    rng = np.random.RandomState(9)
+    x3 = rng.randn(B, T, C).astype(np.float32)
+    lens = np.asarray([20, 13])
+    m2 = np.arange(T)[None] < lens[:, None]  # (B, T)
+    if lead == "b3":
+        x, m = x3, m2
+    elif lead == "1b4":
+        x, m = x3[None], m2[None]          # (1, B, T, C), mask (1, B, T)
+    else:
+        x, m = x3[:, None], m2[:, None]    # (B, 1, T, C), mask (B, 1, T)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(m))
+
+    monkeypatch.setenv("W2L_FUSED_ATTN", "0")
+    want = layer.apply(params, jnp.asarray(x), jnp.asarray(m))
+    monkeypatch.setenv("W2L_FUSED_ATTN", "force")
+    got = layer.apply(params, jnp.asarray(x), jnp.asarray(m))
+    valid = np.broadcast_to(np.asarray(m)[..., None], x.shape)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-4, rtol=3e-4
+    )
+
+
+def test_tr_layer_fused_matches_unfused(monkeypatch):
+    """Whole TransformerLayer: the fused path (forced on, interpret via CPU
+    fallback is not available, so compare the module's two code paths by
+    eval-mode equivalence at the kernel level) — here we verify the module's
+    fused branch is numerically consistent by comparing fused_mhsa applied
+    to the module's q/k/v against the module's XLA output."""
+    from wav2letter_tpu.models.transformer import TransformerLayer
+
+    B, T, C, H = 2, 24, 64, 4
+    bptt = 50
+    layer = TransformerLayer(model_dim=C, mlp_dim=96, n_heads=H, bptt=bptt,
+                             dropout=0.0)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    lens = np.asarray([24, 17])
+    mask = jnp.asarray(np.arange(T)[None] < lens[:, None])
+    params = layer.init(jax.random.PRNGKey(0), x, mask)
+    # XLA path output (fused disabled on CPU automatically)
+    want = layer.apply(params, x, mask)
+    # manual fused recompute of the attention sublayer
+    p = params["params"]["attn"]
+    Dh = C // H
+
+    def lin(name, a):
+        return a @ p[name]["weight"] + p[name]["bias"]
+
+    q, k, v = lin("wq", x), lin("wk", x), lin("wv", x)
+    win = p["pos_emb"][bptt - T + 1 : bptt + T]
+    mb = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    att = fused_mhsa(q / math.sqrt(Dh), k, v, win, mb, H, interpret=True)
+    att = lin("wf", att)
+    # push through the rest of the layer manually (postLN variant)
+    def ln(name, h):
+        pp = params["params"][name]
+        mu = h.mean(-1, keepdims=True)
+        var = ((h - mu) ** 2).mean(-1, keepdims=True)
+        return (h - mu) * jax.lax.rsqrt(var + 1e-5) * pp["weight"] + pp["bias"]
+
+    def lin2(name, a):  # layer-level linears (w1/w2 live beside attn)
+        pp = params["params"][name]
+        return a @ pp["weight"] + pp["bias"]
+
+    h = ln("norm1", att + x)
+    m = lin2("w2", jnp.maximum(lin2("w1", h), 0))
+    got = ln("norm2", m + h)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-4, rtol=3e-4
+    )

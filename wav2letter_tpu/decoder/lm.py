@@ -282,8 +282,10 @@ class NativeKenLM(LM):
 def KenLM(path: str, usr_vocab: Optional[Sequence[str]] = None) -> LM:
     """Factory matching the reference's KenLM usage (``cpc/Decode.cpp:249``):
     .arpa(.gz) text via the pure-Python reader; .bin (kenlm probing binary)
-    via the native core. Trie/quantized (.qt) binaries are rejected by the
-    native loader with a pointer at the probing/ARPA alternatives."""
+    and .qt (quantized-trie small-footprint binary, built by
+    ``tools.ngram_lm.build_trie_binary``) via the native core, which sniffs
+    the format by magic. Real-kenlm trie files are rejected with a pointer
+    at the probing/ARPA/qt alternatives."""
     if path.endswith(".bin") or path.endswith(".qt"):
         return NativeKenLM(path, usr_vocab)
     return ArpaLM(path, usr_vocab)

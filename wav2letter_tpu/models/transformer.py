@@ -117,6 +117,14 @@ def _rel_position_bias(q: Array, pos_emb: Array, bptt: int) -> Array:
     return jnp.where(jnp.asarray(valid), out, jnp.zeros((), out.dtype))
 
 
+def _fused_attn_mode() -> str:
+    """'1' (default: on for TPU), '0' (off), 'force' (on everywhere,
+    interpret-mode off-TPU — for tests exercising the fused branch)."""
+    import os
+
+    return os.environ.get("W2L_FUSED_ATTN", "1")
+
+
 class MultiHeadSelfAttention(nn.Module):
     model_dim: int
     head_dim: int
@@ -138,6 +146,54 @@ class MultiHeadSelfAttention(nn.Module):
         k = TFLinear(self.model_dim, H * Dh, 0.707, name="wk")(x)
         v = TFLinear(self.model_dim, H * Dh, 0.707, name="wv")(x)
 
+        pos_emb = None
+        if self.bptt > 0:
+            pos_emb = self.param(
+                "pos_emb",
+                lambda key, s: jax.random.uniform(key, s, jnp.float32, -0.1, 0.1),
+                (2 * self.bptt, Dh),
+            )
+
+        # fused Pallas path (ops/pallas/attention.py): rel-pos shear, mask,
+        # softmax, dropout and both attention matmuls in one VMEM kernel;
+        # heads stay as column blocks (no split/merge copies). Covers the
+        # training/eval encoder case: non-causal, rel-pos window reachable
+        # (T <= bptt), batched (B, T, C) input on a TPU device.
+        mode = _fused_attn_mode()
+        on_tpu = (jax.devices()[0].platform in ("tpu", "axon")
+                  and jax.device_count() == 1)  # GSPMD can't partition it
+        if (
+            (mode == "force" or (mode != "0" and on_tpu))
+            and not self.causal
+            and pos_emb is not None
+            and T <= self.bptt
+            and x.ndim >= 3
+        ):
+            from ..ops.pallas.attention import fused_mhsa
+
+            rate = self.dropout if train else 0.0
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.int32(2**31 - 1),
+                    dtype=jnp.int32,
+                )
+            win = pos_emb[self.bptt - T + 1 : self.bptt + T]
+            if pad_mask is not None:
+                mask_bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)
+                mask_bias = jnp.broadcast_to(mask_bias, x.shape[:-1])
+            else:
+                mask_bias = jnp.zeros(x.shape[:-1], jnp.float32)
+            lead = x.shape[:-2]  # flatten leading dims: archs reach TR 4-d
+            nb = int(np.prod(lead)) if lead else 1
+            out = fused_mhsa(
+                (q / math.sqrt(Dh)).reshape(nb, T, H * Dh),
+                k.reshape(nb, T, H * Dh), v.reshape(nb, T, H * Dh),
+                win, mask_bias.reshape(nb, T).astype(jnp.float32), H,
+                dropout_rate=rate, seed=seed, interpret=not on_tpu,
+            ).reshape(x.shape[:-1] + (H * Dh,))
+            return TFLinear(H * Dh, self.model_dim, 1.0, True, name="wf")(out)
+
         def split(a):  # (..., T, H*Dh) -> (..., H, T, Dh)
             a = a.reshape(a.shape[:-1] + (H, Dh))
             return jnp.moveaxis(a, -2, -3)
@@ -145,12 +201,7 @@ class MultiHeadSelfAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         q = q / math.sqrt(Dh)
         scores = jnp.einsum("...td,...sd->...ts", q, k)  # (..., H, T, T)
-        if self.bptt > 0:
-            pos_emb = self.param(
-                "pos_emb",
-                lambda key, s: jax.random.uniform(key, s, jnp.float32, -0.1, 0.1),
-                (2 * self.bptt, Dh),
-            )
+        if pos_emb is not None:
             scores = scores + _rel_position_bias(q, pos_emb, self.bptt)
         neg = jnp.asarray(-1e30, scores.dtype)
         if self.causal and T > 1:

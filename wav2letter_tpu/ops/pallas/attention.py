@@ -1,0 +1,308 @@
+"""Fused multi-head self-attention Pallas kernel (rel-pos bias folded in).
+
+Motivation (BENCH.md transformer profile): the XLA attention path spends
+~11 ms/step on data formatting — the Transformer-XL relative-shift
+reshape/slice chain plus the (B,T,H*Dh)<->(B,H,T,Dh) head split/merge
+copies — and materializes the (B,H,T,T) score/prob tensors in HBM around
+an f32 softmax. This kernel computes, per (batch, head) grid program,
+entirely in VMEM:
+
+    qp     = q @ Pwin^T                  (T, Wp)   rel-pos projection
+    bias   = shear(qp)                   bias[i,j] = qp[i, j-i+T-1]
+    scores = q @ k^T + bias + key_mask   (T, T)    f32
+    p      = dropout(softmax(scores))
+    out    = p @ v                       (T, Dh)
+
+with the shear done by a single per-row strided lane roll
+(``pltpu.roll(qp, shift=Wp-T+1, stride=1, stride_axis=0)``: row i rolls by
+(Wp-T+1)+i == i-(T-1) mod Wp, i.e. a left shift of (T-1)-i — the XL shift
+with zero data movement through HBM). Heads are column blocks of the
+(B, T, H*Dh) activations (BlockSpec index ``i % H``), so the moveaxis
+split/merge copies vanish too.
+
+Semantics match ``models/transformer.py::MultiHeadSelfAttention`` for the
+non-causal T <= bptt case (upstream ``TransformerCPC.cpp:104-150``):
+rel bias zero outside the +/-bptt window is unreachable when T <= bptt;
+pad mask adds -1e30 over key positions. Backward is a full-recompute
+(flash-style) kernel: the inverse shear is ``pltpu.roll(dbias, shift=T-1,
+stride=Wp-1, stride_axis=0)`` (row i rolls by (T-1)-i, wrapped-in lanes
+provably read zeros), and dPwin accumulates across the (B*H) grid into a
+single revisited output block.
+
+Exact-grad tested vs the XLA path in interpret mode (tests/test_pallas_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _softmax_p(scores):
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _dropout_keep(seed, prog, shape, rate):
+    """Deterministic per-program keep mask; identical in fwd and bwd.
+
+    Counter-based uint32 hash (murmur3-style finalizer over a per-element
+    counter mixed with seed and program id) instead of pltpu.prng_* — pure
+    VPU integer ops, so it runs identically on the TPU backend and in
+    CPU interpret mode (prng_seed has no CPU lowering)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = r * np.uint32(shape[1]) + c
+    mix = (seed.astype(jnp.uint32) * np.uint32(0x9E3779B9)
+           + prog.astype(jnp.uint32) * np.uint32(0x85EBCA6B))
+    x = x + mix
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    thresh = np.uint32(min(int((1.0 - rate) * 2.0**32), 2**32 - 1))
+    return x < thresh
+
+
+def _scores_kernel(q, k, pos, mask_row, T, Wp):
+    """(Tp, Dh) q/k + (Wp, Dh) pos + (1, Tp) mask -> f32 (Tp, Tp) scores."""
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    qp = jax.lax.dot_general(
+        q, pos, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tp, Wp)
+    # shear: bias[i, j] = qp[i, (j - i + T - 1) mod Wp]; valid (i<T, j<T)
+    # reads never wrap, masked/padded columns may (finite garbage, masked).
+    # Split into a uniform lane roll + a zero-base strided roll: Mosaic
+    # rejects strided rotates whose max in-vreg shift exceeds the vreg
+    # width, but base 0 + stride 1 keeps it at 7.
+    bias = pltpu.roll(qp, shift=(Wp - T + 1) % Wp, axis=1)
+    bias = pltpu.roll(bias, shift=0, axis=1, stride=1, stride_axis=0)
+    return qk + bias[:, : q.shape[0]] + mask_row
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, o_ref,
+                *, T, Wp, rate):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    scores = _scores_kernel(q, k, pos_ref[:], mask_ref[0], T, Wp)
+    p = _softmax_p(scores)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0], pl.program_id(0), p.shape, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dpos_ref, *, T, Wp, rate):
+    i = pl.program_id(0)
+    q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+    pos = pos_ref[:]
+    scores = _scores_kernel(q, k, pos, mask_ref[0], T, Wp)
+    p = _softmax_p(scores)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0], i, p.shape, rate)
+        pd = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        pd = p
+    # dv = pd^T @ g
+    dv_ref[0] = jax.lax.dot_general(
+        pd.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    # d(pd) = g @ v^T;  dp via dropout;  dscores = p * (dp - sum(dp*p, axis=1))
+    dpd = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dpd * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        dp = dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # f32 (Tp, Tp)
+    dsb = ds.astype(q.dtype)
+    # dq = ds @ k + dqp @ pos;  dqp = inverse-shear(ds padded to Wp cols)
+    dq = jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    Tp = q.shape[0]
+    ds_pad = jnp.pad(ds, ((0, 0), (0, Wp - Tp)))
+    # dqp[i, c] = ds_pad[i, (c - (T-1) + i) mod Wp]: roll row i by (T-1)-i
+    # == (T-1) + i*(Wp-1) mod Wp. The -i part can't ride a strided rotate
+    # (stride Wp-1 blows Mosaic's in-vreg shift limit), so barrel-shift it:
+    # bit b of i contributes a static roll of (Wp - 2^b); wrapped-in lanes
+    # provably read zero columns.
+    dqp = pltpu.roll(ds_pad, shift=(T - 1) % Wp, axis=1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, dqp.shape, 0)
+    b = 1
+    while b < Tp:
+        dqp = jnp.where((row_ids & b) != 0,
+                        pltpu.roll(dqp, shift=Wp - b, axis=1), dqp)
+        b <<= 1
+    dq = dq + jax.lax.dot_general(
+        dqp.astype(q.dtype), pos, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    # dk = ds^T @ q
+    dk_ref[0] = jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    # dpos accumulates across the whole (B*H) grid into one block
+    dpos = jax.lax.dot_general(
+        dqp.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dpos_ref[:] = dpos
+
+    @pl.when(i > 0)
+    def _():
+        dpos_ref[:] = dpos_ref[:] + dpos
+
+
+def _pad_args(q, k, v, pos_win, mask_bias, n_heads):
+    B, T, HD = q.shape
+    Dh = HD // n_heads
+    Tp = _ceil_to(max(T, 16), 16)
+    Dp = _ceil_to(Dh, 128)
+    Wp = _ceil_to(T + Tp - 1, 128)
+
+    def pad_x(x):
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        if Dp != Dh:  # pad each head's columns: (B,Tp,H,Dh) -> (B,Tp,H,Dp)
+            x = x.reshape(B, Tp, n_heads, Dh)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - Dh)))
+            x = x.reshape(B, Tp, n_heads * Dp)
+        return x
+
+    qp_, kp_, vp_ = pad_x(q), pad_x(k), pad_x(v)
+    pos_p = jnp.pad(pos_win.astype(q.dtype),
+                    ((0, Wp - pos_win.shape[0]), (0, Dp - Dh)))
+    mask_p = jnp.pad(mask_bias.astype(jnp.float32), ((0, 0), (0, Tp - T)),
+                     constant_values=NEG)
+    # (B, 1, Tp): Mosaic needs the block's trailing dims divisible by (8,128)
+    # or equal to the array's — a (1, 1, Tp) block of (B, 1, Tp) qualifies
+    mask_p = mask_p[:, None, :]
+    return qp_, kp_, vp_, pos_p, mask_p, Tp, Dp, Wp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _mhsa(q, k, v, pos_win, mask_bias, seed, n_heads, rate, interpret):
+    out, _ = _mhsa_fwd(q, k, v, pos_win, mask_bias, seed, n_heads, rate,
+                       interpret)
+    return out
+
+
+def _specs(B, H, Tp, Dp, Wp):
+    qspec = pl.BlockSpec((1, Tp, Dp), lambda i, *_: (i // H, 0, i % H),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((Wp, Dp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, Tp), lambda i, *_: (i // H, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, pspec, mspec
+
+
+def _mhsa_fwd(q, k, v, pos_win, mask_bias, seed, n_heads, rate, interpret):
+    B, T, HD = q.shape
+    H = n_heads
+    qp_, kp_, vp_, pos_p, mask_p, Tp, Dp, Wp = _pad_args(
+        q, k, v, pos_win, mask_bias, n_heads
+    )
+    qspec, pspec, mspec = _specs(B, H, Tp, Dp, Wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H,),
+        in_specs=[qspec, qspec, qspec, pspec, mspec],
+        out_specs=qspec,
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T, Wp=Wp, rate=rate),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H * Dp), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seed, qp_, kp_, vp_, pos_p, mask_p)
+    if Dp != HD // H:
+        out = out.reshape(B, Tp, H, Dp)[..., : HD // H].reshape(B, Tp, HD)
+    return out[:, :T], (q, k, v, pos_win, mask_bias, seed)
+
+
+def _mhsa_bwd(n_heads, rate, interpret, res, g):
+    q, k, v, pos_win, mask_bias, seed = res
+    B, T, HD = q.shape
+    H = n_heads
+    Dh = HD // H
+    qp_, kp_, vp_, pos_p, mask_p, Tp, Dp, Wp = _pad_args(
+        q, k, v, pos_win, mask_bias, n_heads
+    )
+    gp = jnp.pad(g.astype(q.dtype), ((0, 0), (0, Tp - T), (0, 0)))
+    if Dp != Dh:
+        gp = gp.reshape(B, Tp, H, Dh)
+        gp = jnp.pad(gp, ((0, 0), (0, 0), (0, 0), (0, Dp - Dh)))
+        gp = gp.reshape(B, Tp, H * Dp)
+    qspec, pspec, mspec = _specs(B, H, Tp, Dp, Wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H,),
+        in_specs=[qspec, qspec, qspec, pspec, mspec, qspec],
+        out_specs=(qspec, qspec, qspec, pspec),
+    )
+    dq, dk, dv, dpos = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, Wp=Wp, rate=rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, H * Dp), q.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * Dp), q.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * Dp), q.dtype),
+            jax.ShapeDtypeStruct((Wp, Dp), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seed, qp_, kp_, vp_, pos_p, mask_p, gp)
+
+    def unpad(x):
+        if Dp != Dh:
+            x = x.reshape(B, Tp, H, Dp)[..., :Dh].reshape(B, Tp, HD)
+        return x[:, :T]
+
+    dpos = dpos[: pos_win.shape[0], :Dh].astype(pos_win.dtype)
+    return (unpad(dq), unpad(dk), unpad(dv), dpos,
+            jnp.zeros_like(mask_bias), jnp.zeros_like(seed, dtype=jax.dtypes.float0))
+
+
+_mhsa.defvjp(_mhsa_fwd, _mhsa_bwd)
+
+
+def fused_mhsa(
+    q: jnp.ndarray,       # (B, T, H*Dh) — query, ALREADY scaled by 1/sqrt(Dh)
+    k: jnp.ndarray,       # (B, T, H*Dh)
+    v: jnp.ndarray,       # (B, T, H*Dh)
+    pos_win: jnp.ndarray,  # (2T-1, Dh): rel-pos rows for offsets -(T-1)..T-1
+    mask_bias: jnp.ndarray,  # (B, T) f32 additive key mask (0 / -1e30)
+    n_heads: int,
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,  # (1,) int32; required if rate > 0
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention with XL relative-position bias; returns (B, T, H*Dh)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _mhsa(q, k, v, pos_win, mask_bias, seed, n_heads,
+                 float(dropout_rate), interpret)

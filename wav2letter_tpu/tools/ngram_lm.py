@@ -226,3 +226,19 @@ def build_binary(arpa_path: str, out_bin: str, probing_multiplier: float = 1.5) 
     ):
         raise RuntimeError(f"build_binary failed for {arpa_path}")
     return out_bin
+
+
+def build_trie_binary(arpa_path: str, out_qt: str) -> str:
+    """ARPA text -> quantized-trie binary (.qt): the small-footprint decode
+    format, the analog of kenlm's ``build_binary trie -q 8 -b 8`` the
+    reference uses for its 13MB streaming decode LM
+    (streaming_convnets/librispeech/prepare_lms.sh, README.md:116-123).
+    Sorted suffix trie + bit-packed records + 8-bit equal-population prob/
+    backoff codebooks; loads through ``decoder.lm.KenLM`` / the native
+    decoder (``--lm=*.qt``) via magic sniffing."""
+    from ..ops.native import decoder_lib
+
+    lib = decoder_lib()
+    if not lib.w2l_lm_build_trie(arpa_path.encode(), out_qt.encode()):
+        raise RuntimeError(f"build_trie_binary failed for {arpa_path}")
+    return out_qt
