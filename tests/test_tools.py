@@ -285,3 +285,79 @@ def test_commonvoice_prep(tmp_path):
     lines = lex.read_text().strip().splitlines()
     assert n_lex == len(lines) == 3
     assert any(l.startswith("hello h e l l o |") for l in lines)
+
+
+# ---------------------------------------------------------------- gutenberg LM corpus pipeline
+def test_number_and_roman_spelling():
+    from wav2letter_tpu.tools.corpus import (
+        number_to_ordinal, number_to_words, number_to_year, roman_to_int,
+    )
+
+    assert number_to_words(42) == "forty two"
+    assert number_to_words(1234) == "one thousand two hundred and thirty four"
+    assert number_to_words(1000000) == "one million"
+    assert number_to_ordinal(1) == "first"
+    assert number_to_ordinal(22) == "twenty second"
+    assert number_to_ordinal(30) == "thirtieth"
+    assert number_to_ordinal(100) == "one hundredth"
+    assert number_to_year(1984) == "nineteen eighty four"
+    assert number_to_year(1905) == "nineteen o five"
+    assert number_to_year(2000) == "two thousand"
+    assert number_to_year(1900) == "nineteen hundred"
+    assert number_to_year(2019) == "twenty nineteen"
+    assert roman_to_int("XIV") == 14
+    assert roman_to_int("MCMXCIX") == 1999
+    import pytest as _pt
+    for bad in ("IIII", "VX", "ABC", ""):
+        with _pt.raises(ValueError):
+            roman_to_int(bad)
+
+
+def test_corpus_pre_and_postprocessing():
+    from wav2letter_tpu.tools.corpus import postprocess_line, preprocess_line
+
+    # preprocessing.py behaviors
+    assert preprocess_line("wait 12 min. more") == "wait 12 minutes more"
+    assert preprocess_line("at 12:30 sharp") == "at 12 30 sharp"
+    assert preprocess_line("cut 3/4 of it") == "cut 3 4 of it"
+    assert preprocess_line("Mr. Smith vs. Dr. Jones") == \
+        "mister Smith versus doctor Jones"
+    # postprocessing.py behaviors
+    assert postprocess_line("Chapter II") == "chapter two"
+    assert postprocess_line("Chapter I") == "chapter one"
+    assert postprocess_line("I went home") == "i went home"  # bare I kept
+    assert postprocess_line("in 1905 he left") == "in nineteen o five he left"
+    assert postprocess_line("the 3rd time") == "the third time"
+    assert postprocess_line("$ 100 reward") == "one hundred dollars reward"
+    assert postprocess_line("the dogs ' tails") == "the dogs' tails"
+    assert postprocess_line("well-known & famous") == "well known and famous"
+    assert postprocess_line("café résumé") == "cafe resume"
+    assert postprocess_line("weird #@%! stuff") == "weird stuff"
+
+
+def test_gutenberg_corpus_end_to_end(tmp_path):
+    from wav2letter_tpu.tools.corpus import prepare_gutenberg_corpus
+
+    b1 = tmp_path / "book1.txt"
+    b1.write_text("<P>\nChapter I\nMr. Smith went home in 1905\n"
+                  "Mr. Smith went home in 1905\n")
+    b2 = tmp_path / "book2.txt"
+    b2.write_text("The 2nd adventure of the well-known hero.\n")
+    b3 = tmp_path / "excluded.txt"
+    b3.write_text("Should not appear at all.\n")
+    out = tmp_path / "corpus.txt"
+    res = prepare_gutenberg_corpus(
+        [str(b1), str(b2), str(b3)], str(out),
+        titles=["A Tale of Winter", "Other Story", "The Great Journey"],
+        exclude_titles=["the great journey"],
+        vocab_size=5,
+    )
+    lines = out.read_text().strip().split("\n")
+    assert res["n_dropped_books"] == 1
+    assert "mister smith went home in nineteen o five" in lines
+    assert sum("mister smith" in l for l in lines) == 1  # deduped
+    assert "the second adventure of the well known hero" in lines
+    assert not any("appear" in l for l in lines)
+    assert len(res["vocab"]) == 5
+    freqs = dict(res["frequencies"])
+    assert freqs["the"] >= 2
