@@ -78,14 +78,18 @@ def _dropout_keep(seed, prog, shape, rate):
     return x < thresh
 
 
-def _scores_kernel(q, k, pos, mask_row, T, Wp):
-    """(Tp, Dh) q/k + (Wp, Dh) pos + (1, Tp) mask -> f32 (Tp, Tp) scores."""
-    qk = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    qp = jax.lax.dot_general(
-        q, pos, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Tp, Wp)
+def _scores_kernel(q, kpos, mask_row, T, Wp):
+    """(Tp, Dh) q + (Tp+Wp, Dh) [k; pos] + (1, Tp) mask -> f32 scores.
+
+    k and pos ride ONE MXU contraction (the per-program dots are small, so
+    pipeline fill dominates; merging halves the fill count): columns
+    [0, Tp) of the product are q@k^T, columns [Tp, Tp+Wp) are q@pos^T."""
+    Tp = q.shape[0]
+    qkp = jax.lax.dot_general(
+        q, kpos, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tp, Tp + Wp)
+    qk = qkp[:, :Tp]
+    qp = qkp[:, Tp:]
     # shear: bias[i, j] = qp[i, (j - i + T - 1) mod Wp]; valid (i<T, j<T)
     # reads never wrap, masked/padded columns may (finite garbage, masked).
     # Split into a uniform lane roll + a zero-base strided roll: Mosaic
@@ -93,13 +97,14 @@ def _scores_kernel(q, k, pos, mask_row, T, Wp):
     # width, but base 0 + stride 1 keeps it at 7.
     bias = pltpu.roll(qp, shift=(Wp - T + 1) % Wp, axis=1)
     bias = pltpu.roll(bias, shift=0, axis=1, stride=1, stride_axis=0)
-    return qk + bias[:, : q.shape[0]] + mask_row
+    return qk + bias[:, :Tp] + mask_row
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, o_ref,
                 *, T, Wp, rate):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    scores = _scores_kernel(q, k, pos_ref[:], mask_ref[0], T, Wp)
+    kpos = jnp.concatenate([k, pos_ref[:]], axis=0)  # (Tp+Wp, Dh) in VMEM
+    scores = _scores_kernel(q, kpos, mask_ref[0], T, Wp)
     p = _softmax_p(scores)
     if rate > 0.0:
         keep = _dropout_keep(seed_ref[0], pl.program_id(0), p.shape, rate)
@@ -114,8 +119,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dpos_ref, *, T, Wp, rate):
     i = pl.program_id(0)
     q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
-    pos = pos_ref[:]
-    scores = _scores_kernel(q, k, pos, mask_ref[0], T, Wp)
+    kpos = jnp.concatenate([k, pos_ref[:]], axis=0)  # (Tp+Wp, Dh)
+    scores = _scores_kernel(q, kpos, mask_ref[0], T, Wp)
     p = _softmax_p(scores)
     if rate > 0.0:
         keep = _dropout_keep(seed_ref[0], i, p.shape, rate)
@@ -136,11 +141,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, g_ref,
     else:
         dp = dpd
     ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))  # f32 (Tp, Tp)
-    dsb = ds.astype(q.dtype)
-    # dq = ds @ k + dqp @ pos;  dqp = inverse-shear(ds padded to Wp cols)
-    dq = jax.lax.dot_general(
-        dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
     Tp = q.shape[0]
     ds_pad = jnp.pad(ds, ((0, 0), (0, Wp - Tp)))
     # dqp[i, c] = ds_pad[i, (c - (T-1) + i) mod Wp]: roll row i by (T-1)-i
@@ -155,20 +155,19 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pos_ref, mask_ref, g_ref,
         dqp = jnp.where((row_ids & b) != 0,
                         pltpu.roll(dqp, shift=Wp - b, axis=1), dqp)
         b <<= 1
-    dq = dq + jax.lax.dot_general(
-        dqp.astype(q.dtype), pos, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    # dk = ds^T @ q
-    dk_ref[0] = jax.lax.dot_general(
-        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+    # merge the k- and pos-side products into single MXU contractions:
+    #   dq      = ds @ k + dqp @ pos  = [ds | dqp]      @ [k; pos]
+    #   [dk ; dpos_part]              = [ds | dqp]^T    @ q
+    dskp = jnp.concatenate([ds, dqp], axis=1).astype(q.dtype)  # (Tp, Tp+Wp)
+    dq_ref[0] = jax.lax.dot_general(
+        dskp, kpos, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dkpos = jax.lax.dot_general(
+        dskp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tp+Wp, Dh): rows [0,Tp) = dk, rows [Tp,Tp+Wp) = dpos contribution
+    dk_ref[0] = dkpos[:Tp].astype(dk_ref.dtype)
     # dpos accumulates across the whole (B*H) grid into one block
-    dpos = jax.lax.dot_general(
-        dqp.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dpos = dkpos[Tp:]
 
     @pl.when(i == 0)
     def _():
