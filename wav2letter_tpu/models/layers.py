@@ -28,6 +28,7 @@ Convs/pools update the mask length arithmetic; transformers consume it.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -269,6 +270,17 @@ class Conv2D(nn.Module):
         else:
             pw, ph = self._pads(x.shape[3], x.shape[2])
             dn = ("NCHW", "OIHW", "NCHW")
+        if (os.environ.get("W2L_PIN_CONV_LAYOUT") == "1"
+                and self.data_layout == "ncft"
+                and jax.default_backend() == "tpu"):
+            # measured layout experiment (VERDICT r1 next#8): pin activations
+            # around the conv to XLA's conv-preferred batch-minor layout
+            # ({0,1,3,2} == major_to_minor (2,3,1,0) for NCHW) so the
+            # neighboring elementwise/LN fusions adopt it instead of
+            # round-tripping through row-major copies
+            from jax.experimental.layout import Layout, with_layout_constraint
+
+            x = with_layout_constraint(x, Layout(major_to_minor=(2, 3, 1, 0)))
         y = jax.lax.conv_general_dilated(
             x,
             w.astype(x.dtype),
