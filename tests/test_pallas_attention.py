@@ -208,3 +208,52 @@ def test_tr_layer_fused_matches_unfused(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-4, rtol=3e-4
     )
+
+
+def test_conformer_layer_fused_branch(monkeypatch):
+    """ConformerLayer shares MultiHeadSelfAttention: its fused branch
+    (W2L_FUSED_ATTN=force, interpret on CPU) must match the XLA branch."""
+    from wav2letter_tpu.models.transformer import ConformerLayer
+
+    B, T, C, H, bptt = 2, 18, 64, 4, 24
+    layer = ConformerLayer(model_dim=C, mlp_dim=96, n_heads=H, bptt=bptt,
+                           conv_kernel=5, dropout=0.0)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    lens = np.asarray([18, 11])
+    m = jnp.asarray(np.arange(T)[None] < lens[:, None])
+    params = layer.init(jax.random.PRNGKey(0), x, m)
+    monkeypatch.setenv("W2L_FUSED_ATTN", "0")
+    want = layer.apply(params, x, m)
+    monkeypatch.setenv("W2L_FUSED_ATTN", "force")
+    got = layer.apply(params, x, m)
+    valid = np.broadcast_to(np.asarray(m)[..., None], x.shape)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-4, rtol=3e-4
+    )
+
+
+def test_fused_larger_t_multibit_barrel():
+    """T past one sublane tile (Tp=80 -> 7-bit row indices) exercises the
+    multi-vreg strided roll fwd and the deeper barrel shifter in bwd."""
+    B, T, H, Dh = 1, 77, 2, 128
+    rng = np.random.RandomState(6)
+    q = (rng.randn(B, T, H * Dh) * 0.4).astype(np.float32)
+    k = (rng.randn(B, T, H * Dh) * 0.4).astype(np.float32)
+    v = (rng.randn(B, T, H * Dh) * 0.4).astype(np.float32)
+    pos = (rng.randn(2 * T - 1, Dh) * 0.1).astype(np.float32)
+    mb = np.zeros((B, T), np.float32)
+    args = [jnp.asarray(a) for a in (q, k, v, pos, mb)]
+    fused = functools.partial(fused_mhsa, n_heads=H, interpret=True)
+    got = fused(*args)
+    want = ref_mhsa(*args, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    w = jnp.asarray(rng.randn(B, T, H * Dh).astype(np.float32))
+    gf = jax.grad(lambda q, k, v, p: jnp.sum(fused(q, k, v, p, args[4]) * w),
+                  argnums=(0, 1, 2, 3))(*args[:4])
+    gr = jax.grad(lambda q, k, v, p: jnp.sum(ref_mhsa(q, k, v, p, args[4], H) * w),
+                  argnums=(0, 1, 2, 3))(*args[:4])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
