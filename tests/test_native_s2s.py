@@ -235,3 +235,39 @@ def test_real_criterion_overfit_native_matches_python():
         want = [int(t) for t in targets[b][: tlen[b]]]
         assert nr.tokens == want
         assert pr.tokens == nr.tokens and abs(pr.score - nr.score) < 1e-3
+
+
+def test_transformer_criterion_native_matches_python():
+    """Native s2s beam over the TransformerS2SCriterion's KV-cached
+    decode_step (pytree state with per-layer caches) must match the Python
+    decoder — exercises _gather_state on nested cache leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import (
+        S2SConfig, TransformerS2SCriterion,
+    )
+    from wav2letter_tpu.decoder.seq2seq_beam import make_s2s_update_fn
+
+    N, eos, pad = 8, 6, 7
+    crit = TransformerS2SCriterion(
+        S2SConfig(n_classes=N, eos_idx=eos, pad_idx=pad, hidden=16,
+                  max_decoder_output_len=8),
+        CriterionScaleMode.NONE, n_tr_layers=2,
+    )
+    rng = np.random.RandomState(4)
+    T, H = 6, 16
+    em = rng.randn(1, T, H).astype(np.float32)
+    elen = np.asarray([6], np.int32)
+    toks = jnp.asarray(rng.randint(0, eos, (1, 4)), jnp.int32)
+    tlen = jnp.asarray([4], jnp.int32)
+    params = crit.init(jax.random.PRNGKey(0), jnp.asarray(em), toks,
+                       jnp.asarray(elen), tlen)
+
+    opts = DecoderOptions(beam_size=4, beam_size_token=5, beam_threshold=30.0,
+                          criterion_type=CriterionType.S2S)
+    fn, init = make_s2s_update_fn(crit, params["params"], em[0], int(elen[0]))
+    py = LexiconFreeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=8)
+    nat = NativeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=8)
+    assert_match(py.decode(n_best=3), nat.decode(n_best=3))
