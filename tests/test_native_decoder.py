@@ -326,6 +326,59 @@ def test_qt_native_decode_matches_arpa(tmp_path):
         assert abs(ra.score - rq.score) < 1e-3
 
 
+PRUNED_ARPA = """\\data\\
+ngram 1=6
+ngram 2=2
+ngram 3=2
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.7\ta\t-0.25
+-0.9\tb\t-0.35
+-0.6\tc\t-0.15
+-1.5\t<unk>
+
+\\2-grams:
+-0.3\ta b\t-0.1
+-0.5\t<s> a\t-0.2
+
+\\3-grams:
+-0.15\ta b c
+-0.45\t<s> a b
+
+\\end\\
+"""
+
+
+def test_qt_pruned_arpa_backoff_matches_arpa(tmp_path):
+    """Pruned ARPA: trigram 'a b c' exists but bigram 'b c' does not — the
+    canonical shape of kenlm's 3-gram.pruned.* inputs. The .qt trie must
+    insert a completion-only node for 'b c'-reachable paths but report it
+    absent at lookup so score() backs off: P(c|b) = P(c) + bo(b), not the
+    -99 placeholder (ADVICE r2 high: pseudo nodes leaked as found)."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(PRUNED_ARPA)
+    from wav2letter_tpu.tools.ngram_lm import build_trie_binary
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    qt = tmp_path / "lm.qt"
+    build_trie_binary(str(arpa), str(qt))
+    pylm = ArpaLM(str(arpa))
+    qlm = KenLM(str(qt))
+    # the repro case: P(c | b) must back off through the missing 'b c'
+    ref = pylm.score_sentence(["b", "c"])
+    got = qlm.score_sentence(["b", "c"])
+    assert abs(ref - got) < 1e-4, (ref, got)
+    assert got > -20, f"pseudo-node placeholder leaked into score: {got}"
+    # broad agreement over sequences crossing pseudo nodes at every depth
+    for sent in (["a", "b", "c"], ["c", "a", "b"], ["b", "c", "a"],
+                 ["a", "b"], ["c"], ["a", "b", "c", "a", "b", "c"]):
+        ref = pylm.score_sentence(sent)
+        got = qlm.score_sentence(sent)
+        assert abs(ref - got) < 1e-4, (sent, ref, got)
+
+
 def test_qt_rejects_garbage(tmp_path):
     bad = tmp_path / "bad.qt"
     bad.write_bytes(b"W2LQT\x01\x00\x00" + b"\xff" * 16)

@@ -548,10 +548,23 @@ static bool kenlm_build_binary(const std::string& arpa, const std::string& out,
 // quantization codebooks per order, and full-precision unigrams.
 // Real-kenlm `.qt` byte-compat cannot be validated in this environment
 // (no kenlm, zero egress); kenlm trie files keep being rejected with a
-// clear error, while this container is self-describing ("W2LQT\1") with
+// clear error, while this container is self-describing ("W2LQT\2") with
 // round-trip, quantization-error-bound, and differential-decode tests.
+//
+// Version 2 (over v1): (a) completion-only trie nodes — suffix paths that
+// exist only so deeper n-grams are reachable, the case kenlm's BlankManager
+// handles for pruned ARPAs — are marked with the reserved prob code 255 so
+// lookup_pb reports them absent at full depth and LMBase::score backs off
+// (v1 returned their placeholder p=-99, silently corrupting scores for
+// pruned ARPA inputs such as 3-gram.pruned.*); their placeholder values are
+// also excluded from the prob codebooks. (b) 4 bytes of padding after the
+// order field align the vocab hash array to 8 bytes (v1 did misaligned
+// uint64 loads — UB under strict-alignment/UBSan).
 // ---------------------------------------------------------------------------
-static const char kQtMagic[8] = {'W', '2', 'L', 'Q', 'T', 1, 0, 0};
+static const char kQtMagic[8] = {'W', '2', 'L', 'Q', 'T', 2, 0, 0};
+// Reserved prob code marking a completion-only (pseudo) node: "no n-gram of
+// this length ends here", triggering backoff in LMBase::score.
+constexpr uint8_t kQtPseudoCode = 255;
 
 static inline uint64_t read_bits(const uint8_t* base, uint64_t bit_off, int bits) {
   uint64_t v;
@@ -605,13 +618,14 @@ struct QtLM : LMBase {
       if ((uint64_t)(end - p) < n) { error = "truncated qt file"; return false; }
       return true;
     };
-    if (!need(12) || std::memcmp(p, kQtMagic, 8)) {
+    if (!need(16) || std::memcmp(p, kQtMagic, 8)) {
       if (error.empty()) error = "bad qt magic";
       return false;
     }
     p += 8;
     uint32_t ord;
     std::memcpy(&ord, p, 4); p += 4;
+    p += 4;  // alignment padding (v2): keeps vocab_hashes 8-byte aligned
     order = (int)ord;
     if (order < 1 || order > 16) { error = "bad order"; return false; }
     std::vector<uint64_t> counts(order);
@@ -696,7 +710,11 @@ struct QtLM : LMBase {
       if (a >= hi || rec_word(L, a) != w) return false;
       if (depth == n) {
         uint64_t off = a * L.width + L.word_bits;
-        *p = L.prob_cb[read_bits(L.bits, off, 8)];
+        uint64_t code = read_bits(L.bits, off, 8);
+        // Completion-only node: the path exists solely to reach deeper
+        // n-grams (pruned-ARPA suffix hole) — no prob stored; back off.
+        if (code == kQtPseudoCode) return false;
+        *p = L.prob_cb[code];
         *b = (depth < order) ? L.bo_cb[read_bits(L.bits, off + 8, 8)] : 0.f;
         return true;
       }
@@ -707,20 +725,22 @@ struct QtLM : LMBase {
   }
 };
 
-// 256-center equal-population codebook (kenlm SeparatelyQuantize's binning)
-static std::vector<float> make_codebook(std::vector<float> vals) {
+// Equal-population codebook (kenlm SeparatelyQuantize's binning). Prob
+// codebooks use 255 centers (code 255 = kQtPseudoCode reserved); backoff
+// codebooks use the full 256.
+static std::vector<float> make_codebook(std::vector<float> vals, int centers = 256) {
   std::vector<float> cb;
-  if (vals.empty()) { cb.assign(256, 0.f); return cb; }
+  if (vals.empty()) { cb.assign(centers, 0.f); return cb; }
   std::sort(vals.begin(), vals.end());
   vals.erase(std::unique(vals.begin(), vals.end()), vals.end());
-  if (vals.size() <= 256) {
+  if ((int)vals.size() <= centers) {
     cb = vals;
-    cb.resize(256, vals.back());
+    cb.resize(centers, vals.back());
     return cb;
   }
-  cb.reserve(256);
-  for (int i = 0; i < 256; ++i) {
-    size_t a = vals.size() * i / 256, z = vals.size() * (i + 1) / 256;
+  cb.reserve(centers);
+  for (int i = 0; i < centers; ++i) {
+    size_t a = vals.size() * i / centers, z = vals.size() * (i + 1) / centers;
     double s = 0;
     for (size_t j = a; j < z; ++j) s += vals[j];
     cb.push_back((float)(s / std::max<size_t>(1, z - a)));
@@ -744,8 +764,9 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
   int order = ag.order;
   uint64_t vocab_n = ag.words_by_id.size() - 1;  // ids 1..vocab_n (<unk>=0)
 
-  // suffix-trie node key: REVERSED ids (newest word first)
-  struct Node { std::vector<int32_t> rev; float p = -99.f, bo = 0.f; };
+  // suffix-trie node key: REVERSED ids (newest word first); real = the
+  // n-gram appears in the ARPA (pseudo completion nodes stay false)
+  struct Node { std::vector<int32_t> rev; float p = -99.f, bo = 0.f; bool real = false; };
   std::vector<std::vector<Node>> lev(order);  // lev[o-1]: order-o nodes
   struct VecHash {
     size_t operator()(const std::vector<int32_t>& v) const {
@@ -759,9 +780,15 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
       nd.rev.assign(g.ids.rbegin(), g.ids.rend());
       nd.p = g.p;
       nd.bo = g.bo;
+      nd.real = true;
       auto ins = idx[o - 1].emplace(nd.rev, lev[o - 1].size());
       if (ins.second) lev[o - 1].push_back(std::move(nd));
-      else { lev[o - 1][ins.first->second].p = g.p; lev[o - 1][ins.first->second].bo = g.bo; }
+      else {
+        Node& ex = lev[o - 1][ins.first->second];
+        ex.p = g.p;
+        ex.bo = g.bo;
+        ex.real = true;
+      }
     }
   }
   // every node's parent path (its rev prefix) must exist: insert pseudo
@@ -818,13 +845,23 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
     return cb;
   };
 
-  // quantization codebooks per order >= 2
+  // quantization codebooks per order >= 2, from REAL nodes only (pseudo
+  // placeholders would pollute the equal-population bins); prob codebooks
+  // reserve code 255 for pseudo nodes, bo codebooks force a 0.0 center so
+  // pseudo contexts contribute exactly zero backoff
   std::vector<std::vector<float>> prob_cbs(order + 1), bo_cbs(order + 1);
   for (int o = 2; o <= order; ++o) {
     std::vector<float> ps, bs;
-    for (const auto& nd : lev[o - 1]) { ps.push_back(nd.p); bs.push_back(nd.bo); }
-    prob_cbs[o] = make_codebook(std::move(ps));
-    if (o < order) bo_cbs[o] = make_codebook(std::move(bs));
+    for (const auto& nd : lev[o - 1])
+      if (nd.real) { ps.push_back(nd.p); bs.push_back(nd.bo); }
+    prob_cbs[o] = make_codebook(std::move(ps), 255);
+    // slot 255: +inf sentinel — encode_q's nearest-center step-down can
+    // never pick it, so only pseudo nodes carry code 255
+    prob_cbs[o].push_back(std::numeric_limits<float>::infinity());
+    if (o < order) {
+      bs.push_back(0.f);
+      bo_cbs[o] = make_codebook(std::move(bs));
+    }
   }
 
   // serialize
@@ -835,6 +872,8 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
   of.write(kQtMagic, 8);
   uint32_t ord32 = (uint32_t)order;
   of.write(reinterpret_cast<const char*>(&ord32), 4);
+  uint32_t pad32 = 0;  // aligns the vocab hash array to 8 bytes (v2)
+  of.write(reinterpret_cast<const char*>(&pad32), 4);
   of.write(reinterpret_cast<const char*>(counts.data()), 8 * order);
   of.write(reinterpret_cast<const char*>(&vocab_n), 8);
   {  // vocab: sorted hashes + parallel ids
@@ -863,8 +902,10 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
     for (uint64_t r = 0; r < perm[0].size(); ++r) {
       const Node& nd = lev[0][perm[0][r]];
       uint32_t id = (uint32_t)nd.rev[0];
-      uni[id].p = nd.p;
-      uni[id].bo = nd.bo;
+      // pseudo unigrams (word only reachable via higher grams — ill-formed
+      // ARPA) keep the absent-word default rather than the -99 placeholder
+      uni[id].p = nd.real ? nd.p : -10.f;
+      uni[id].bo = nd.real ? nd.bo : 0.f;
     }
     // dense child ranges: walk ids in sorted-node order (rev = {id} sorts
     // numerically, so sorted order == id order for present ids)
@@ -895,7 +936,8 @@ static bool qt_build_binary(const std::string& arpa, const std::string& out,
       const Node& nd = lev[o - 1][perm[o - 1][r]];
       uint64_t off = r * width;
       write_bits(bits, off, (uint64_t)nd.rev.back(), word_bits);
-      write_bits(bits, off + word_bits, encode_q(prob_cbs[o], nd.p), 8);
+      uint8_t pcode = nd.real ? encode_q(prob_cbs[o], nd.p) : kQtPseudoCode;
+      write_bits(bits, off + word_bits, pcode, 8);
       if (mid) {
         write_bits(bits, off + word_bits + 8, encode_q(bo_cbs[o], nd.bo), 8);
         write_bits(bits, off + word_bits + 16, cbs[r], ptr_bits);

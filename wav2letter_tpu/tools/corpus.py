@@ -191,7 +191,18 @@ def roman_to_int(s: str) -> int:
     if i != len(s):
         raise ValueError(f"not a roman numeral: {s}")
     # round-trip check catches orderings the greedy scan accepts wrongly
+    # (e.g. 'VIV' -> 9 but canonical 9 is 'IX'; roman.fromRoman raises too)
+    if _int_to_roman(total) != s:
+        raise ValueError(f"malformed roman numeral: {s}")
     return total
+
+
+def _int_to_roman(n: int) -> str:
+    out = []
+    for sym, val in _ROMAN_VALS:
+        q, n = divmod(n, val)
+        out.append(sym * q)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
