@@ -48,10 +48,18 @@ class ConvLM(LM):
         self.cache: "OrderedDict[Tuple[int, ...], np.ndarray]" = OrderedDict()
         self.lm_memory = lm_memory
         self._fwd = jax.jit(self._forward)
+        self._fwd_at = jax.jit(self._forward_at)
 
     def _forward(self, ids):  # (B, L) -> (B, V) last-position log-probs
         logits, _ = self.model.apply(self.params, ids, None)
         return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+
+    def _forward_at(self, ids, pos):  # (B, Lmax), (B,) -> (B, V) at pos
+        logits, _ = self.model.apply(self.params, ids, None)
+        rows = jnp.take_along_axis(
+            logits, pos[:, None, None], axis=1
+        )[:, 0]
+        return jax.nn.log_softmax(rows.astype(jnp.float32), axis=-1)
 
     def _logprobs(self, hist: Tuple[int, ...]) -> np.ndarray:
         row = self.cache.get(hist)
@@ -64,6 +72,56 @@ class ConvLM(LM):
         if len(self.cache) > self.lm_memory:
             self.cache.popitem(last=False)
         return row
+
+    # -- batched scoring (native deferred-LM protocol) ---------------------
+    # The native beam decoder collects a step's pending (history, word)
+    # requests; score them with ONE device call per batch bucket — the
+    # TPU-native equivalent of the reference's per-thread GPU ConvLM
+    # (cpc/Decode.cpp:489-517). Right-padding is sound because the GCNN LM
+    # is causal (position k sees only ids[:k+1]), so rows are gathered at
+    # the true last position instead of -1.
+    _B_BUCKETS = (8, 32, 128, 512)
+
+    def score_batch(
+        self, hists: np.ndarray, lens: np.ndarray, words: np.ndarray
+    ) -> np.ndarray:
+        """hists (N, H) int32 LM-id histories (rows padded past lens[i]),
+        words (N,) int32 LM ids -> (N,) float32 log10 P(word | hist)."""
+        n = len(words)
+        keys = [tuple(int(x) for x in hists[i, : lens[i]]) for i in range(n)]
+        missing = []
+        seen = set()
+        for k in keys:
+            if k not in self.cache and k not in seen:
+                seen.add(k)
+                missing.append(k)
+        ctx = self.context
+        i = 0
+        while i < len(missing):
+            b = next((b for b in self._B_BUCKETS if b >= len(missing) - i),
+                     self._B_BUCKETS[-1])
+            chunk = missing[i : i + b]
+            ids = np.zeros((b, ctx), np.int32)
+            pos = np.zeros(b, np.int32)
+            for j, k in enumerate(chunk):
+                ids[j, : len(k)] = k
+                pos[j] = len(k) - 1
+            rows = np.asarray(self._fwd_at(jnp.asarray(ids), jnp.asarray(pos)))
+            for j, k in enumerate(chunk):
+                self.cache[k] = rows[j]
+                if len(self.cache) > self.lm_memory:
+                    self.cache.popitem(last=False)
+            i += len(chunk)
+        out = np.empty(n, np.float32)
+        ln10 = np.log(10.0)
+        for i, k in enumerate(keys):
+            row = self.cache.get(k)
+            if row is None:  # evicted within this batch (tiny lm_memory)
+                row = self._logprobs(k)
+            else:
+                self.cache.move_to_end(k)
+            out[i] = row[int(words[i])] / ln10
+        return out
 
     # -- LM API ------------------------------------------------------------
     def start(self, start_with_nothing: bool = False) -> LMState:

@@ -49,6 +49,34 @@ class NativeLM:
                 pass
 
 
+class NativeExternalLM:
+    """Host-scored (deferred) LM handle for the native beam decoder —
+    the ConvLM path (reference cpc/Decode.cpp:489-517). The native core
+    collects each step's pending (history, word) score requests; ``scorer``
+    (a :class:`~wav2letter_tpu.decoder.convlm.ConvLM`) resolves them with
+    one batched device call via ``score_batch``."""
+
+    def __init__(self, scorer):
+        self.lib = decoder_lib()
+        self.scorer = scorer
+        self.context = int(scorer.context)
+        self.ptr = self.lib.w2l_lm_new_external(
+            self.context, scorer.eos_id, scorer.eos_id, scorer.unk_id
+        )
+        self.usr_map = (
+            np.asarray(scorer.usr_map, np.int32)
+            if scorer.usr_map is not None
+            else None
+        )
+
+    def __del__(self):
+        if getattr(self, "ptr", None):
+            try:
+                self.lib.w2l_lm_free(self.ptr)
+            except Exception:
+                pass
+
+
 class NativeTrie:
     def __init__(self, n_tokens: int):
         self.lib = decoder_lib()
@@ -114,6 +142,22 @@ class NativeBeamDecoder:
         )
         self._trie, self._lm = trie, lm  # keep alive
 
+    # -- deferred-LM request loop ------------------------------------------
+    def _resolve_requests(self, n_reqs: int) -> "np.ndarray":
+        ext = self._lm
+        cap = ext.context
+        hists = np.zeros((n_reqs, cap), np.int32)
+        lens = np.zeros(n_reqs, np.int32)
+        words = np.zeros(n_reqs, np.int32)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        self._req_export(
+            self.ptr, hists.ctypes.data_as(i32), lens.ctypes.data_as(i32),
+            words.ctypes.data_as(i32), cap,
+        )
+        return np.ascontiguousarray(
+            ext.scorer.score_batch(hists, lens, words), np.float32
+        )
+
     # -- online API --------------------------------------------------------
     def decode_begin(self):
         self.lib.w2l_decoder_begin(self.ptr)
@@ -122,13 +166,37 @@ class NativeBeamDecoder:
     def decode_step(self, emissions: np.ndarray):
         em = np.ascontiguousarray(emissions, np.float32)
         t, n = em.shape
-        self.lib.w2l_decoder_step(
-            self.ptr, em.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, n
-        )
+        if isinstance(self._lm, NativeExternalLM):
+            self._req_export = self.lib.w2l_decoder_reqs_export
+            f32 = ctypes.POINTER(ctypes.c_float)
+            for ti in range(t):
+                frame = em[ti]
+                n_reqs = self.lib.w2l_decoder_step_collect(
+                    self.ptr, frame.ctypes.data_as(f32), n
+                )
+                scores = self._resolve_requests(n_reqs) if n_reqs else None
+                self.lib.w2l_decoder_step_apply(
+                    self.ptr,
+                    scores.ctypes.data_as(f32) if scores is not None else None,
+                )
+        else:
+            self.lib.w2l_decoder_step(
+                self.ptr, em.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, n
+            )
         self._nframes += t
 
     def decode_end(self):
-        self.lib.w2l_decoder_end(self.ptr)
+        if isinstance(self._lm, NativeExternalLM):
+            self._req_export = self.lib.w2l_decoder_reqs_export
+            n_reqs = self.lib.w2l_decoder_end_collect(self.ptr)
+            scores = self._resolve_requests(n_reqs) if n_reqs else None
+            f32 = ctypes.POINTER(ctypes.c_float)
+            self.lib.w2l_decoder_end_apply(
+                self.ptr,
+                scores.ctypes.data_as(f32) if scores is not None else None,
+            )
+        else:
+            self.lib.w2l_decoder_end(self.ptr)
 
     def prune(self, look_back: int = 0):
         self.lib.w2l_decoder_prune(self.ptr, look_back)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .beam import DecodeResult, DecoderOptions
-from .native import NativeLM, NativeTrie
+from .native import NativeExternalLM, NativeLM, NativeTrie
 from ..ops.native import decoder_lib
 
 
@@ -84,6 +84,21 @@ class NativeSeq2SeqDecoder:
         )
         self._trie, self._lm = trie, lm  # keep alive
 
+    def _resolve_requests(self, n_reqs: int) -> np.ndarray:
+        ext = self._lm
+        cap = ext.context
+        hists = np.zeros((n_reqs, cap), np.int32)
+        lens = np.zeros(n_reqs, np.int32)
+        words = np.zeros(n_reqs, np.int32)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        self.lib.w2l_s2s_reqs_export(
+            self.ptr, hists.ctypes.data_as(i32), lens.ctypes.data_as(i32),
+            words.ctypes.data_as(i32), cap,
+        )
+        return np.ascontiguousarray(
+            ext.scorer.score_batch(hists, lens, words), np.float32
+        )
+
     def decode(self, n_best: int = 1) -> List[DecodeResult]:
         lib = self.lib
         K = self.opts.beam_size
@@ -105,17 +120,37 @@ class NativeSeq2SeqDecoder:
                 pk_ptr = peaks_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
             else:
                 pk_ptr = None
-            k = lib.w2l_s2s_step(
-                self.ptr,
-                logp_np.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                pk_ptr, k, logp_np.shape[1], tp, rp,
-            )
+            lp = logp_np.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if isinstance(self._lm, NativeExternalLM):
+                n_reqs = lib.w2l_s2s_step_collect(
+                    self.ptr, lp, pk_ptr, k, logp_np.shape[1]
+                )
+                scores = self._resolve_requests(n_reqs) if n_reqs else None
+                k = lib.w2l_s2s_step_apply(
+                    self.ptr,
+                    scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                    if scores is not None else None,
+                    tp, rp,
+                )
+            else:
+                k = lib.w2l_s2s_step(
+                    self.ptr, lp, pk_ptr, k, logp_np.shape[1], tp, rp,
+                )
             if k <= 0:
                 break
             toks = out_toks[:k].copy()
             rows = out_rows[:k].copy()
             state = new_state
-        lib.w2l_s2s_end(self.ptr)
+        if isinstance(self._lm, NativeExternalLM):
+            n_reqs = lib.w2l_s2s_end_collect(self.ptr)
+            scores = self._resolve_requests(n_reqs) if n_reqs else None
+            lib.w2l_s2s_end_apply(
+                self.ptr,
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if scores is not None else None,
+            )
+        else:
+            lib.w2l_s2s_end(self.ptr)
 
         n = min(n_best, lib.w2l_s2s_nhyps(self.ptr))
         max_len = self.max_output_len + 8

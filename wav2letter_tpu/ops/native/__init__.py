@@ -91,6 +91,39 @@ def decoder_lib() -> ctypes.CDLL:
         c.c_int, c.POINTER(c.c_double),
     ]
     lib.w2l_decoder_prune.argtypes = [c.c_void_p, c.c_int]
+    lib.w2l_lm_new_external.restype = c.c_void_p
+    lib.w2l_lm_new_external.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int]
+    lib.w2l_decoder_step_collect.restype = c.c_int
+    lib.w2l_decoder_step_collect.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.c_int,
+    ]
+    lib.w2l_decoder_reqs_export.restype = c.c_int
+    lib.w2l_decoder_reqs_export.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.c_int,
+    ]
+    lib.w2l_decoder_step_apply.argtypes = [c.c_void_p, c.POINTER(c.c_float)]
+    lib.w2l_decoder_end_collect.restype = c.c_int
+    lib.w2l_decoder_end_collect.argtypes = [c.c_void_p]
+    lib.w2l_decoder_end_apply.argtypes = [c.c_void_p, c.POINTER(c.c_float)]
+    lib.w2l_s2s_step_collect.restype = c.c_int
+    lib.w2l_s2s_step_collect.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.POINTER(c.c_int32), c.c_int,
+        c.c_int,
+    ]
+    lib.w2l_s2s_reqs_export.restype = c.c_int
+    lib.w2l_s2s_reqs_export.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.c_int,
+    ]
+    lib.w2l_s2s_step_apply.restype = c.c_int
+    lib.w2l_s2s_step_apply.argtypes = [
+        c.c_void_p, c.POINTER(c.c_float), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),
+    ]
+    lib.w2l_s2s_end_collect.restype = c.c_int
+    lib.w2l_s2s_end_collect.argtypes = [c.c_void_p]
+    lib.w2l_s2s_end_apply.argtypes = [c.c_void_p, c.POINTER(c.c_float)]
     lib.w2l_s2s_new.restype = c.c_void_p
     lib.w2l_s2s_new.argtypes = [
         c.c_int, c.c_int, c.c_double, c.c_double, c.c_double, c.c_double,

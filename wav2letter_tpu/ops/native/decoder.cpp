@@ -725,6 +725,32 @@ struct QtLM : LMBase {
   }
 };
 
+// ---------------------------------------------------------------------------
+// ExternalLM — deferred host-scored LM (ConvLM / any neural LM).
+//
+// The reference forwards ConvLM on an accelerator per decoder thread
+// (cpc/Decode.cpp:489-517 with --lm_vocab mapping and --lm_memory cache).
+// TPU-native inversion: the beam decoder collects the pending
+// (lm-state, word) score requests of a step, the host scores them in ONE
+// batched JAX call, and the scores are applied before pruning — the same
+// control inversion S2SDecoder already uses for the AM callback. This type
+// only carries the state-truncation length (order-1 = context window) and
+// special ids; lookup_pb is never consulted (deferred decoders route all
+// scoring through the request queue).
+// ---------------------------------------------------------------------------
+struct ExternalLM : LMBase {
+  ExternalLM(int context, int bos, int eos, int unk) {
+    order = context + 1;
+    bos_id = bos;
+    eos_id = eos;
+    unk_id = unk;
+  }
+  bool lookup_pb(const int32_t*, int, float*, float*) const override {
+    return false;
+  }
+  int find_word(const std::string&) const override { return unk_id; }
+};
+
 // Equal-population codebook (kenlm SeparatelyQuantize's binning). Prob
 // codebooks use 255 centers (code 255 = kQtPseudoCode reserved); backoff
 // codebooks use the full 256.
@@ -1158,12 +1184,53 @@ struct Decoder {
     }
   }
 
-  void step_frame(const float* em) {
+  // -- deferred-LM plumbing (ExternalLM / ConvLM) --------------------------
+  // Candidate generation and pruning are split into collect/apply phases.
+  // With a sync n-gram LM, collect scores inline and apply(nullptr) merges
+  // and prunes. With an ExternalLM, collect enqueues deduped
+  // (lm_state, lm_word) requests; the host scores them in one batched
+  // device call and apply(scores) resolves each pending candidate as
+  //   score = score_so_far + lm_weight * (s + corr),  lm_score = lm_base + s
+  // (corr = -child.max_score for lexicon word emissions, undoing the trie
+  // smear contribution the in-word walk added; 0 otherwise).
+  bool deferred = false;
+  struct PendCand { Hyp h; int req; float corr; double lm_base; };
+  std::vector<PendCand> pend;
+  std::vector<std::pair<int, int32_t>> reqs;  // (lm_state, lm word id)
+  std::unordered_map<int64_t, int> req_idx;
+
+  int32_t map_usr(int32_t usr_idx) const {
+    return (usr_idx >= 0 && usr_idx < (int)usr_to_lm.size())
+               ? usr_to_lm[usr_idx]
+               : usr_idx;
+  }
+
+  int req_intern(int state, int32_t w_lm) {
+    int64_t k = ((int64_t)state << 32) | (uint32_t)w_lm;
+    auto it = req_idx.find(k);
+    if (it != req_idx.end()) return it->second;
+    int id = (int)reqs.size();
+    reqs.push_back({state, w_lm});
+    req_idx.emplace(k, id);
+    return id;
+  }
+
+  // next LM state after consuming lm word id (no score needed)
+  int lm_next_state(int state, int32_t w_lm) {
+    auto& h = pool.states[state];
+    std::vector<int32_t> nh(h);
+    nh.push_back(w_lm);
+    int keep = std::max(0, lm->order - 1);
+    if ((int)nh.size() > keep) nh.erase(nh.begin(), nh.end() - keep);
+    return pool.intern(nh.data(), (int)nh.size());
+  }
+
+  int step_collect(const float* em) {
+    pend.clear();
+    reqs.clear();
+    req_idx.clear();
     const auto& prev = frames.back();
-    std::unordered_map<std::tuple<int, int, bool>, int, KeyHash> keys;
-    std::vector<Hyp> cands;
-    cands.reserve(prev.size() * 8);
-    double best = kNegInf;
+    pend.reserve(prev.size() * 8);
     const bool ctc = opts.criterion == 0;
 
     // top-k tokens
@@ -1184,20 +1251,20 @@ struct Decoder {
         if (ctc && tok == blank) {
           Hyp nh{base, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
                  hyp.node, pi, tok, -1, true};
-          add_cand(keys, cands, nh, best);
+          pend.push_back({nh, -1, 0.f, nh.lm_score});
           continue;
         }
         if (tok == hyp.token && (!ctc || !hyp.prev_blank)) {
           Hyp nh{base + trans(tok, hyp.token), hyp.am_score + am, hyp.lm_score,
                  hyp.lm_state, hyp.node, pi, tok, -1, false};
-          add_cand(keys, cands, nh, best);
+          pend.push_back({nh, -1, 0.f, nh.lm_score});
           continue;
         }
         if (tok == sil && sil != blank && trie) {
           Hyp nh{base + opts.sil_score + trans(tok, hyp.token),
                  hyp.am_score + am, hyp.lm_score, hyp.lm_state, 0, pi, tok, -1,
                  false};
-          add_cand(keys, cands, nh, best);
+          pend.push_back({nh, -1, 0.f, nh.lm_score});
           continue;
         }
         if (trie) {
@@ -1209,16 +1276,23 @@ struct Decoder {
           double sc = base + trans(tok, hyp.token);
           double lm_sc = hyp.lm_score;
           int lst = hyp.lm_state;
+          int tok_req = -1;
           if (opts.lm_weight != 0.0 && !is_token_lm) {
             double delta = child.max_score - nd.max_score;
             sc += opts.lm_weight * delta;
             lm_sc += delta;
           }
           if (opts.lm_weight != 0.0 && is_token_lm) {
-            auto [st2, s] = lm_score(lst, tok);
-            lst = st2;
-            sc += opts.lm_weight * s;
-            lm_sc += s;
+            int32_t wlm = map_usr(tok);
+            if (deferred) {
+              tok_req = req_intern(lst, wlm);
+              lst = lm_next_state(lst, wlm);
+            } else {
+              auto [st2, s] = lm_score(lst, tok);
+              lst = st2;
+              sc += opts.lm_weight * s;
+              lm_sc += s;
+            }
           }
           // word emissions
           for (size_t wi = 0; wi < child.labels.size(); wi++) {
@@ -1226,11 +1300,23 @@ struct Decoder {
             double wsc = sc;
             double wlm = lm_sc;
             int wst = lst;
+            int wreq = tok_req;
+            float wcorr = 0.f;
+            double wbase = lm_sc;
             if (opts.lm_weight != 0.0 && !is_token_lm) {
-              auto [st2, s] = lm_score(hyp.lm_state, w);
-              wst = st2;
-              wsc += opts.lm_weight * ((double)s - child.max_score);
-              wlm = hyp.lm_score + s;
+              int32_t wlm_id = map_usr(w);
+              if (deferred) {
+                wreq = req_intern(hyp.lm_state, wlm_id);
+                wst = lm_next_state(hyp.lm_state, wlm_id);
+                wcorr = -child.max_score;
+                wbase = hyp.lm_score;
+              } else {
+                auto [st2, s] = lm_score(hyp.lm_state, w);
+                wst = st2;
+                wsc += opts.lm_weight * ((double)s - child.max_score);
+                wlm = hyp.lm_score + s;
+                wbase = wlm;
+              }
             }
             if (w == unk_word) {
               if (opts.unk_score == kNegInf) continue;
@@ -1238,31 +1324,56 @@ struct Decoder {
             }
             wsc += opts.word_score;
             Hyp nh{wsc, hyp.am_score + am, wlm, wst, 0, pi, tok, w, false};
-            add_cand(keys, cands, nh, best);
+            pend.push_back({nh, wreq, wcorr, wbase});
           }
           if (!child.children.empty()) {
             Hyp nh{sc, hyp.am_score + am, lm_sc, lst, ci, pi, tok, -1, false};
-            add_cand(keys, cands, nh, best);
+            pend.push_back({nh, tok_req, 0.f, lm_sc});
           }
         } else {
           // lexicon-free: token-level LM
           double sc = base + trans(tok, hyp.token);
           double lm_sc = hyp.lm_score;
           int lst = hyp.lm_state;
-          if (opts.lm_weight != 0.0) {
-            auto [st2, s] = lm_score(lst, tok);
-            lst = st2;
-            sc += opts.lm_weight * s;
-            lm_sc += s;
+          int req = -1;
+          if (opts.lm_weight != 0.0 && lm) {
+            int32_t wlm = map_usr(tok);
+            if (deferred) {
+              req = req_intern(lst, wlm);
+              lst = lm_next_state(lst, wlm);
+            } else {
+              auto [st2, s] = lm_score(lst, tok);
+              lst = st2;
+              sc += opts.lm_weight * s;
+              lm_sc += s;
+            }
           }
           if (tok == sil) sc += opts.sil_score;
           Hyp nh{sc, hyp.am_score + am, lm_sc, lst, tok /* node slot stores
                  last token for merge key in lexicon-free mode */,
                  pi, tok, -1, false};
-          add_cand(keys, cands, nh, best);
+          pend.push_back({nh, req, 0.f, lm_sc});
         }
       }
     }
+    return (int)reqs.size();
+  }
+
+  void step_apply(const float* scores) {
+    std::unordered_map<std::tuple<int, int, bool>, int, KeyHash> keys;
+    std::vector<Hyp> cands;
+    cands.reserve(pend.size());
+    double best = kNegInf;
+    for (auto& pc : pend) {
+      Hyp h = pc.h;
+      if (pc.req >= 0 && scores) {
+        double s = scores[pc.req];
+        h.score += opts.lm_weight * (s + pc.corr);
+        h.lm_score = pc.lm_base + s;
+      }
+      add_cand(keys, cands, h, best);
+    }
+    pend.clear();
     // threshold + top beam_size
     double thr = best - opts.beam_threshold;
     std::vector<Hyp> kept;
@@ -1280,21 +1391,47 @@ struct Decoder {
     frames.push_back(std::move(kept));
   }
 
-  void end() {
-    auto fin = frames.back();  // copy
-    for (auto& h : fin) {
-      if (opts.lm_weight != 0.0 && !is_token_lm) {
-        float s = lm_finish(h.lm_state);
-        h.score += opts.lm_weight * s;
-        h.lm_score += s;
-      } else if (opts.lm_weight != 0.0 && is_token_lm) {
-        float s = lm_finish(h.lm_state);
+  void step_frame(const float* em) {
+    step_collect(em);
+    step_apply(nullptr);
+  }
+
+  std::vector<Hyp> end_pend;
+  std::vector<int> end_reqs;
+
+  int end_collect() {
+    reqs.clear();
+    req_idx.clear();
+    end_pend = frames.back();  // copy
+    end_reqs.assign(end_pend.size(), -1);
+    if (lm && opts.lm_weight != 0.0 && lm->eos_id >= 0 && deferred) {
+      for (size_t i = 0; i < end_pend.size(); i++)
+        end_reqs[i] = req_intern(end_pend[i].lm_state, lm->eos_id);
+    }
+    return (int)reqs.size();
+  }
+
+  void end_apply(const float* scores) {
+    auto fin = std::move(end_pend);
+    for (size_t i = 0; i < fin.size(); i++) {
+      Hyp& h = fin[i];
+      if (opts.lm_weight != 0.0 && lm) {
+        float s = (deferred && scores && end_reqs[i] >= 0)
+                      ? scores[end_reqs[i]]
+                      : (deferred ? 0.f : lm_finish(h.lm_state));
         h.score += opts.lm_weight * s;
         h.lm_score += s;
       }
-      // parent points into the previous frame which is frames.back();
-      // mark with parent index unchanged and flag via node = -2? keep simple:
     }
+    end_finish(std::move(fin));
+  }
+
+  void end() {
+    end_collect();
+    end_apply(nullptr);
+  }
+
+  void end_finish(std::vector<Hyp> fin) {
     std::sort(fin.begin(), fin.end(),
               [](const Hyp& a, const Hyp& b) { return a.score > b.score; });
     // store as a final frame whose parents reference the last step frame
@@ -1442,17 +1579,52 @@ struct S2SDecoder {
                           (int32_t)eos, false});
   }
 
-  // Consume the (K, V) log-prob matrix (+ optional per-row attention peaks)
-  // for the current beam; build the next beam. Returns new beam size
-  // (0 = decoding done). out_toks/out_rows sized >= beam_size by the caller.
-  int step(const float* logp, const int32_t* peaks, int K, int V,
-           int32_t* out_toks, int32_t* out_rows) {
-    struct Cand {
-      double score, am_score, lm_score;
-      int lm_state, node, src, peak;
-      int32_t token, word;
-    };
-    std::vector<Cand> cands;
+  // -- deferred-LM plumbing (ExternalLM / ConvLM), mirroring Decoder's ----
+  bool deferred = false;
+  std::vector<std::pair<int, int32_t>> reqs;  // (lm_state, lm word id)
+  std::unordered_map<int64_t, int> req_idx;
+
+  int32_t map_usr(int32_t usr_idx) const {
+    return (usr_idx >= 0 && usr_idx < (int)usr_to_lm.size())
+               ? usr_to_lm[usr_idx]
+               : usr_idx;
+  }
+
+  int req_intern(int state, int32_t w_lm) {
+    int64_t k = ((int64_t)state << 32) | (uint32_t)w_lm;
+    auto it = req_idx.find(k);
+    if (it != req_idx.end()) return it->second;
+    int id = (int)reqs.size();
+    reqs.push_back({state, w_lm});
+    req_idx.emplace(k, id);
+    return id;
+  }
+
+  int lm_next_state(int state, int32_t w_lm) {
+    auto& h = pool.states[state];
+    std::vector<int32_t> nh(h);
+    nh.push_back(w_lm);
+    int keep = std::max(0, lm->order - 1);
+    if ((int)nh.size() > keep) nh.erase(nh.begin(), nh.end() - keep);
+    return pool.intern(nh.data(), (int)nh.size());
+  }
+
+  struct Cand {
+    double score, am_score, lm_score;
+    int lm_state, node, src, peak;
+    int32_t token, word;
+    int req;  // pending LM request (-1 none); resolved in step_apply
+  };
+  std::vector<Cand> pend;
+
+  // Phase 1: consume the (K, V) log-prob matrix (+ optional per-row
+  // attention peaks) for the current beam; generate candidates. With a
+  // deferred LM, returns the number of pending (state, word) score
+  // requests; step_apply finishes the step either way.
+  int step_collect(const float* logp, const int32_t* peaks, int K, int V) {
+    pend.clear();
+    reqs.clear();
+    req_idx.clear();
     int n_tok = std::min(opts.beam_size_token, V);
     for (int bi = 0; bi < (int)beam.size() && bi < K; ++bi) {
       const S2SHyp& hyp = beam[bi];
@@ -1478,7 +1650,7 @@ struct S2SDecoder {
           continue;
         }
         Cand c{sc, hyp.am_score + row[tok], hyp.lm_score, hyp.lm_state,
-               hyp.node, bi, pk, (int32_t)tok, -1};
+               hyp.node, bi, pk, (int32_t)tok, -1, -1};
         if (trie) {
           int node = hyp.node < 0 ? 0 : hyp.node;
           if (word_sep >= 0 && tok == word_sep) {
@@ -1490,22 +1662,53 @@ struct S2SDecoder {
             if (!child.labels.empty()) {
               int w = child.labels[0];
               c.word = w;
-              auto [ns, d] = lm_extend(hyp.lm_state, w);
-              c.lm_state = ns;
-              c.lm_score += d;
-              c.score += opts.lm_weight * d + opts.word_score;
+              if (deferred && lm && opts.lm_weight != 0.0) {
+                int32_t wlm = map_usr(w);
+                c.req = req_intern(hyp.lm_state, wlm);
+                c.lm_state = lm_next_state(hyp.lm_state, wlm);
+                c.score += opts.word_score;
+              } else {
+                auto [ns, d] = lm_extend(hyp.lm_state, w);
+                c.lm_state = ns;
+                c.lm_score += d;
+                c.score += opts.lm_weight * d + opts.word_score;
+              }
               c.node = 0;  // word complete: restart at root
             } else {
               c.node = it->second;
             }
           }
         } else {  // lexicon-free: token-level LM shallow fusion
-          auto [ns, d] = lm_extend(hyp.lm_state, tok);
-          c.lm_state = ns;
-          c.lm_score += d;
-          c.score += opts.lm_weight * d;
+          if (deferred && lm && opts.lm_weight != 0.0) {
+            int32_t wlm = map_usr(tok);
+            c.req = req_intern(hyp.lm_state, wlm);
+            c.lm_state = lm_next_state(hyp.lm_state, wlm);
+          } else {
+            auto [ns, d] = lm_extend(hyp.lm_state, tok);
+            c.lm_state = ns;
+            c.lm_score += d;
+            c.score += opts.lm_weight * d;
+          }
         }
-        cands.push_back(c);
+        pend.push_back(c);
+      }
+    }
+    return (int)reqs.size();
+  }
+
+  // Phase 2: resolve pending LM scores, sort, prune, build the next beam.
+  // Returns new beam size (0 = decoding done); out_toks/out_rows sized
+  // >= beam_size by the caller.
+  int step_apply(const float* scores, int32_t* out_toks, int32_t* out_rows) {
+    std::vector<Cand> cands = std::move(pend);
+    pend.clear();
+    if (scores) {
+      for (auto& c : cands) {
+        if (c.req >= 0) {
+          double s = scores[c.req];
+          c.score += opts.lm_weight * s;
+          c.lm_score += s;
+        }
       }
     }
     if (cands.empty()) return 0;  // beam kept: end() falls back to it
@@ -1539,13 +1742,38 @@ struct S2SDecoder {
     return (int)beam.size();
   }
 
-  void end() {
+  int step(const float* logp, const int32_t* peaks, int K, int V,
+           int32_t* out_toks, int32_t* out_rows) {
+    step_collect(logp, peaks, K, V);
+    return step_apply(nullptr, out_toks, out_rows);
+  }
+
+  std::vector<int> end_reqs;
+
+  int end_collect() {
+    reqs.clear();
+    req_idx.clear();
     was_completed = !finished.empty();
     if (finished.empty()) finished = beam;
+    end_reqs.assign(finished.size(), -1);
+    if (deferred && lm && opts.lm_weight != 0.0 && lm->eos_id >= 0) {
+      for (size_t i = 0; i < finished.size(); i++)
+        end_reqs[i] = req_intern(finished[i].lm_state, lm->eos_id);
+    }
+    return (int)reqs.size();
+  }
+
+  void end_apply(const float* scores) {
     if (lm && opts.lm_weight != 0.0 && lm->eos_id >= 0) {
-      for (auto& h : finished) {
-        auto& hist = pool.states[h.lm_state];
-        float s = lm->score(hist.data(), (int)hist.size(), lm->eos_id);
+      for (size_t i = 0; i < finished.size(); i++) {
+        S2SHyp& h = finished[i];
+        float s;
+        if (deferred) {
+          s = (scores && end_reqs[i] >= 0) ? scores[end_reqs[i]] : 0.f;
+        } else {
+          auto& hist = pool.states[h.lm_state];
+          s = lm->score(hist.data(), (int)hist.size(), lm->eos_id);
+        }
         h.score += opts.lm_weight * s;
         h.lm_score += s;
       }
@@ -1553,6 +1781,11 @@ struct S2SDecoder {
     std::sort(finished.begin(), finished.end(),
               [](const S2SHyp& a, const S2SHyp& b) { return a.score > b.score; });
     for (auto& h : finished) h.completed = was_completed;
+  }
+
+  void end() {
+    end_collect();
+    end_apply(nullptr);
   }
 
   void backtrack(const S2SHyp& h, std::vector<int32_t>& tokens,
@@ -1565,6 +1798,22 @@ struct S2SDecoder {
     std::reverse(words.begin(), words.end());
   }
 };
+
+// shared request exporter: hists is (cap_reqs, max_hist) row-major int32
+template <typename D>
+int export_reqs(D* d, int32_t* hists, int32_t* lens, int32_t* words,
+                int max_hist) {
+  int n = (int)d->reqs.size();
+  for (int i = 0; i < n; i++) {
+    const auto& [state, w] = d->reqs[i];
+    const auto& h = d->pool.states[state];
+    int L = std::min((int)h.size(), max_hist);
+    for (int j = 0; j < L; j++) hists[(size_t)i * max_hist + j] = h[j];
+    lens[i] = L;
+    words[i] = w;
+  }
+  return n;
+}
 
 }  // namespace
 
@@ -1680,6 +1929,7 @@ void* w2l_decoder_new(
   if (unk_score <= -1e29) d->opts.unk_score = kNegInf;
   d->trie = static_cast<Trie*>(trie);
   d->lm = static_cast<LMBase*>(lm);
+  d->deferred = dynamic_cast<ExternalLM*>(d->lm) != nullptr;
   d->sil = sil;
   d->blank = blank;
   d->unk_word = unk_word;
@@ -1691,6 +1941,43 @@ void* w2l_decoder_new(
 }
 
 void w2l_decoder_free(void* d) { delete static_cast<Decoder*>(d); }
+
+// -- deferred (host-scored / ConvLM) LM support -----------------------------
+
+// An LM whose scores the host computes in batches (neural LM on the TPU).
+// context = history truncation length (the model's receptive field).
+void* w2l_lm_new_external(int context, int bos, int eos, int unk) {
+  return static_cast<LMBase*>(new ExternalLM(context, bos, eos, unk));
+}
+
+// Process ONE emission frame, phase 1: generate candidates; returns the
+// number of pending LM score requests (0 with a sync/absent LM).
+int w2l_decoder_step_collect(void* d_, const float* em_frame, int n) {
+  auto* d = static_cast<Decoder*>(d_);
+  (void)n;
+  return d->step_collect(em_frame);
+}
+
+// Fetch pending requests: for request i, hists[i,:lens[i]] = LM-word-id
+// history (oldest first), words[i] = LM word id to score. Returns count.
+int w2l_decoder_reqs_export(void* d_, int32_t* hists, int32_t* lens,
+                            int32_t* words, int max_hist) {
+  return export_reqs(static_cast<Decoder*>(d_), hists, lens, words, max_hist);
+}
+
+// Phase 2: apply host scores (log10, one per request; NULL ok when no
+// requests) — merges, thresholds, prunes, closes the frame.
+void w2l_decoder_step_apply(void* d_, const float* scores) {
+  static_cast<Decoder*>(d_)->step_apply(scores);
+}
+
+int w2l_decoder_end_collect(void* d_) {
+  return static_cast<Decoder*>(d_)->end_collect();
+}
+
+void w2l_decoder_end_apply(void* d_, const float* scores) {
+  static_cast<Decoder*>(d_)->end_apply(scores);
+}
 
 void w2l_decoder_begin(void* d) { static_cast<Decoder*>(d)->begin(); }
 
@@ -1762,6 +2049,7 @@ void* w2l_s2s_new(int beam_size, int beam_size_token, double beam_threshold,
   d->opts.soft_selection = soft_selection >= 1e29 ? kInf : soft_selection;
   d->trie = static_cast<Trie*>(trie);
   d->lm = static_cast<LMBase*>(lm);
+  d->deferred = dynamic_cast<ExternalLM*>(d->lm) != nullptr;
   d->eos = eos_idx;
   d->word_sep = word_sep;
   if (usr_to_lm && n_usr > 0) d->usr_to_lm.assign(usr_to_lm, usr_to_lm + n_usr);
@@ -1779,6 +2067,32 @@ int w2l_s2s_step(void* d_, const float* logp, const int32_t* peaks, int K,
 }
 
 void w2l_s2s_end(void* d) { static_cast<S2SDecoder*>(d)->end(); }
+
+// -- deferred-LM variants (see w2l_decoder_step_collect) --------------------
+
+int w2l_s2s_step_collect(void* d_, const float* logp, const int32_t* peaks,
+                         int K, int V) {
+  return static_cast<S2SDecoder*>(d_)->step_collect(logp, peaks, K, V);
+}
+
+int w2l_s2s_reqs_export(void* d_, int32_t* hists, int32_t* lens,
+                        int32_t* words, int max_hist) {
+  return export_reqs(static_cast<S2SDecoder*>(d_), hists, lens, words,
+                     max_hist);
+}
+
+int w2l_s2s_step_apply(void* d_, const float* scores, int32_t* out_toks,
+                       int32_t* out_rows) {
+  return static_cast<S2SDecoder*>(d_)->step_apply(scores, out_toks, out_rows);
+}
+
+int w2l_s2s_end_collect(void* d_) {
+  return static_cast<S2SDecoder*>(d_)->end_collect();
+}
+
+void w2l_s2s_end_apply(void* d_, const float* scores) {
+  static_cast<S2SDecoder*>(d_)->end_apply(scores);
+}
 
 int w2l_s2s_nhyps(void* d_) {
   return (int)static_cast<S2SDecoder*>(d_)->finished.size();

@@ -71,11 +71,11 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
 
     word_dict = make_word_dict(lexicon) if lexicon else None
 
-    # ConvLM scoring runs in Python/JAX; the native core scores n-gram LMs
-    # in-process and cannot call back per-hypothesis, so convlm pins the
-    # Python beam (reference instead pins one GPU per decoder thread,
-    # Decode.cpp:494-517)
-    if use_native and cfg.lmtype != "convlm":
+    # ConvLM scores on device through the native core's deferred-LM
+    # protocol: the C++ beam collects each step's (state, word) requests and
+    # one batched JAX call resolves them (reference instead pins one GPU per
+    # decoder thread, Decode.cpp:494-517)
+    if use_native:
         try:
             return _build_native_decoder(
                 cfg, opts, token_dict, lexicon, word_dict, transitions,
@@ -132,25 +132,34 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
 def _build_native_decoder(cfg, opts, token_dict, lexicon, word_dict,
                           transitions, sil, blank, n_tokens, use_lexicon,
                           word_level_lm):
-    from ..decoder.native import NativeBeamDecoder, NativeLM, NativeTrie
+    from ..decoder.native import (
+        NativeBeamDecoder, NativeExternalLM, NativeLM, NativeTrie,
+    )
 
     lm = None
+    convlm = None
     if cfg.lm:
         vocab = (
             word_dict.entries() if (word_level_lm and word_dict)
             else token_dict.entries()
         )
-        lm = NativeLM(cfg.lm, usr_vocab=vocab)
+        if cfg.lmtype == "convlm":
+            convlm = make_decode_lm(cfg, vocab)  # Python ConvLM scorer
+            lm = NativeExternalLM(convlm)
+        else:
+            lm = NativeLM(cfg.lm, usr_vocab=vocab)
     trie = None
     unk = -1
     if use_lexicon:
         trie = NativeTrie(n_tokens)
 
-
-        # word start scores (python ArpaLM reused just for unigram scores)
-        score_lm = KenLM(cfg.lm, usr_vocab=word_dict.entries()) if (
-            cfg.lm and word_level_lm
-        ) else None
+        # word start scores for smearing (ConvLM: one cached device row;
+        # n-gram: python ArpaLM reused just for unigram scores)
+        score_lm = None
+        if cfg.lm and word_level_lm:
+            score_lm = convlm if convlm is not None else KenLM(
+                cfg.lm, usr_vocab=word_dict.entries()
+            )
         start = score_lm.start(False) if score_lm else None
         for w, spellings in lexicon.entries.items():
             widx = word_dict.get_index(w)
@@ -285,26 +294,32 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                 word_dict.entries() if (ecfg.decodertype == "wrd" and word_dict)
                 else ev.token_dict.entries()
             )
-            # native C++ beam when the extension builds and the LM is n-gram
-            # (ConvLM scores on device -> Python beam, as in build_decoder)
-            s2s_native = False
-            if ecfg.lmtype != "convlm":
-                try:
-                    from ..decoder.native import (
-                        NativeLM, NativeTrie, native_available,
-                    )
+            # native C++ beam when the extension builds; ConvLM scores on
+            # device through the deferred-LM request protocol (as in
+            # build_decoder)
+            try:
+                from ..decoder.native import (
+                    NativeExternalLM, NativeLM, NativeTrie, native_available,
+                )
 
-                    s2s_native = native_available()
-                except Exception:
-                    s2s_native = False
+                s2s_native = native_available()
+            except Exception:
+                s2s_native = False
             if s2s_native:
-                vocab = list(s2s_vocab)
-                if ecfg.lmdict:
-                    from ..data.dictionary import Dictionary as _Dict
+                if ecfg.lmtype == "convlm" and ecfg.lm:
+                    s2s_lm = NativeExternalLM(make_decode_lm(ecfg, s2s_vocab))
+                elif ecfg.lm:
+                    vocab = list(s2s_vocab)
+                    if ecfg.lmdict:
+                        from ..data.dictionary import Dictionary as _Dict
 
-                    lmd = _Dict.from_file(ecfg.lmdict)
-                    vocab = [w if lmd.contains(w) else "<unk>" for w in vocab]
-                s2s_lm = NativeLM(ecfg.lm, usr_vocab=vocab) if ecfg.lm else None
+                        lmd = _Dict.from_file(ecfg.lmdict)
+                        vocab = [
+                            w if lmd.contains(w) else "<unk>" for w in vocab
+                        ]
+                    s2s_lm = NativeLM(ecfg.lm, usr_vocab=vocab)
+                else:
+                    s2s_lm = None
             else:
                 s2s_lm = make_decode_lm(ecfg, s2s_vocab)
             s2s_trie = None
@@ -442,14 +457,38 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     )
                     print(f"|t|: {' '.join(toks)}")
 
+    # a dead worker must fail the decode loudly (the reference binary
+    # aborts); otherwise empty meters report a silent WER of 0.00%
+    worker_errors: List[BaseException] = []
+
+    def guarded(fn, *args):
+        def run():
+            try:
+                fn(*args)
+            except BaseException as e:  # noqa: BLE001 — reraised below
+                with lock:
+                    worker_errors.append(e)
+                # unblock peers: drain one slot and resend sentinels
+                try:
+                    while True:
+                        emq.get_nowait()
+                except queue.Empty:
+                    pass
+                for _ in range(max(1, ecfg.nthread_decoder)):
+                    try:
+                        emq.put_nowait(None)
+                    except queue.Full:
+                        break
+        return run
+
     pts = [
-        threading.Thread(target=producer, args=(s,), daemon=True)
+        threading.Thread(target=guarded(producer, s), daemon=True)
         for s in range(n_producers)
     ]
     for pt in pts:
         pt.start()
     threads = [
-        threading.Thread(target=consumer, daemon=True)
+        threading.Thread(target=guarded(consumer), daemon=True)
         for _ in range(max(1, ecfg.nthread_decoder))
     ]
     for t in threads:
@@ -458,6 +497,8 @@ def run_decode(cfg: Config) -> Dict[str, float]:
         pt.join()
     for t in threads:
         t.join()
+    if worker_errors:
+        raise worker_errors[0]
 
     if ecfg.sclite:
         os.makedirs(ecfg.sclite, exist_ok=True)
