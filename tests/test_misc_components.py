@@ -114,6 +114,63 @@ def test_amp_scaling_runs(tmp_path):
     assert tr.amp_scale >= 1024.0  # doubled on good steps
 
 
+def test_amp_overflow_retries_same_batch(tmp_path):
+    """AMP overflow parity (reference Train.cpp:1216-1237): a non-finite
+    scaled gradient halves the scale and RETRIES THE SAME BATCH — the
+    failed attempt consumes no new batch and does not advance the update
+    counter. The overflow flag is injected on the first two step attempts
+    (params passed through unchanged, exactly what the device-side zeroed
+    update produces) so the host retry loop is exercised deterministically."""
+    import numpy as np
+
+    from tests.util_synth import make_dataset
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train import Trainer
+
+    lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=8, seed=51)
+    arch = tmp_path / "a.arch"
+    arch.write_text("V -1 1 NFEAT 0\nC NFEAT 32 8 4 4\nRO 2 0 3 1\nL 32 NLABEL\n")
+    cfg = Config()
+    cfg.update(
+        dict(train=lst, tokens=tokens, lexicon=lexicon, rundir=str(tmp_path),
+             runname="ampr", batchsize=8, mfsc=True, filterbanks=40,
+             criterion="ctc", lr=0.1, iter=4, nthread=1, pad_multiple=64,
+             arch=str(arch), compute_dtype="float32",
+             fl_amp_use_mixed_precision=True, fl_amp_scale_factor=1024.0,
+             fl_amp_scale_factor_update_interval=1000)
+    )
+    tr = Trainer(cfg)
+    orig = tr._get_train_step
+    calls = [0]
+    batches_seen = []
+
+    def counting():
+        step = orig()
+
+        def wrapped(mp, cp, ms, no, co, sb, *rest):
+            calls[0] += 1
+            batches_seen.append(np.asarray(sb["sample_idx"]).copy())
+            out = step(mp, cp, ms, no, co, sb, *rest)
+            if calls[0] <= 2:  # inject overflow (inputs are donated, so
+                # pass the step outputs through with only the flag faked)
+                return out[:6] + (np.False_,) + out[7:]
+            return out
+
+        return wrapped
+
+    tr._get_train_step = counting
+    tr.run()
+    # update counter advanced once per BATCH (reference nupdates), while
+    # the step ran two extra times for the retries of the overflowing batch
+    assert tr.updates == 4
+    assert calls[0] == 6, calls[0]
+    # retries re-consumed the SAME batch (sample ids identical)
+    np.testing.assert_array_equal(batches_seen[0], batches_seen[1])
+    np.testing.assert_array_equal(batches_seen[1], batches_seen[2])
+    # two halvings: 1024 -> 256; interval huge so no regrowth
+    assert tr.amp_scale == 256.0, tr.amp_scale
+
+
 def test_s2s_test_executor(tmp_path):
     from tests.util_synth import make_dataset
     from wav2letter_tpu.config import Config

@@ -1,0 +1,277 @@
+"""On-chip decode + streaming benchmarks (the product paths).
+
+Reference shapes being matched:
+  * offline decode — producer/consumer pipeline: accelerator AM forward ->
+    emission queue -> native beam threads (`cpc/Decode.cpp:359-690`,
+    `--nthread_decoder_am_forward` / `--nthread_decoder` /
+    `--emission_queue_size`).
+  * streaming — 500 ms chunk loop with incremental hypotheses and bounded
+    memory (`examples/AudioToWords.cpp:64-105`).
+
+Invoked via `bench.py` with BENCH_MODE=decode|streaming; emits the same
+one-line JSON schema as the training bench. Synthetic setup: flagship
+streaming_convnets TDS AM (115M, real arch file) with random params, a
+5k-word lexicon over wordpiece tokens, and a 3-gram KN LM trained on
+synthetic text — beam dynamics and throughput are what's measured, not WER.
+"""
+
+import json
+import os
+import queue
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STREAMING_ARCH = (
+    "/root/reference/recipes/streaming_convnets/librispeech/"
+    "am_500ms_future_context.arch"
+)
+
+
+def _synth_lexicon_and_lm(n_words, n_tokens, tmpdir, order=3, seed=0):
+    """Random lexicon (2-5 token spellings) + KN n-gram LM over the words."""
+    from wav2letter_tpu.tools.ngram_lm import train_ngram_lm
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{i:05d}" for i in range(n_words)]
+    spellings = {
+        w: [list(rng.randint(1, n_tokens - 2, rng.randint(2, 6)))]
+        for w in words
+    }
+    # zipf-ish corpus for a non-degenerate LM
+    probs = 1.0 / np.arange(1, n_words + 1)
+    probs /= probs.sum()
+    corpus = os.path.join(tmpdir, "corpus.txt")
+    with open(corpus, "w") as f:
+        for _ in range(3000):
+            L = rng.randint(4, 14)
+            f.write(" ".join(rng.choice(words, L, p=probs)) + "\n")
+    arpa = os.path.join(tmpdir, "lm.arpa")
+    train_ngram_lm(corpus, arpa, order=order)
+    return words, spellings, arpa
+
+
+def _build_native(words, spellings, arpa, n_tokens, beam, sil, blank):
+    from wav2letter_tpu.decoder import CriterionType, DecoderOptions
+    from wav2letter_tpu.decoder.native import (
+        NativeBeamDecoder, NativeLM, NativeTrie,
+    )
+
+    opts = DecoderOptions(
+        beam_size=beam, beam_size_token=30, beam_threshold=100.0,
+        lm_weight=1.5, word_score=0.5, unk_score=-np.inf, sil_score=0.2,
+        log_add=False, criterion_type=CriterionType.CTC,
+    )
+    lm = NativeLM(arpa, usr_vocab=words)
+    trie = NativeTrie(n_tokens)
+    from wav2letter_tpu.decoder.lm import KenLM
+
+    score_lm = KenLM(arpa, usr_vocab=words)
+    start = score_lm.start(False)
+    for wi, w in enumerate(words):
+        _, sc = score_lm.score(start, wi)
+        for sp in spellings[w]:
+            trie.insert(sp, wi, sc)
+    trie.smear("max")
+    return NativeBeamDecoder(opts, trie, lm, sil, blank, -1, n_tokens,
+                             is_token_lm=False)
+
+
+def run_decode_bench():
+    """TPU AM forward -> emission queue -> native beam consumer pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.features import FeatureParams, Featurizer
+    from wav2letter_tpu.models.arch import build_arch_module
+
+    n_feat, n_label = 80, 9998
+    beam = int(os.environ.get("BENCH_BEAM", "50"))
+    n_thr = int(os.environ.get("BENCH_NTHREAD", "4"))
+    secs = float(os.environ.get("BENCH_SECS", "15"))
+    n_utts = int(os.environ.get("BENCH_UTTS", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+
+    model = build_arch_module(STREAMING_ARCH, n_feat, n_label)
+    featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
+                        jnp.asarray([128]))
+
+    @jax.jit
+    def fwd(params, audio, audio_len):
+        # params as an argument (NOT closed over: closure would embed 115M
+        # floats as HLO constants — oversized compile payloads)
+        feats, flen = featurizer(audio, audio_len)
+        em, elen = model.apply(params, feats.astype(jnp.bfloat16), flen)
+        return jax.nn.log_softmax(em.astype(jnp.float32), -1), elen
+
+    s = int(16000 * secs)
+    audio = 0.1 * jax.random.normal(rng, (B, s), jnp.float32)
+    alen = jnp.full((B,), s, jnp.int32)
+    em, elen = fwd(params, audio, alen)  # compile
+    em_np = np.asarray(em)[:, : int(np.asarray(elen)[0])]
+
+    tmpdir = tempfile.mkdtemp(prefix="w2l_decbench_")
+    words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
+
+    # warm one decoder (trie/LM build measured separately below)
+    t0 = time.perf_counter()
+    decoders = [
+        _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
+        for _ in range(n_thr)
+    ]
+    build_s = time.perf_counter() - t0
+
+    emq: "queue.Queue" = queue.Queue(maxsize=64)
+    beam_time = [0.0] * n_thr
+    done = [0]
+    lock = threading.Lock()
+
+    def consumer(ti):
+        dec = decoders[ti]
+        while True:
+            item = emq.get()
+            if item is None:
+                return
+            t0 = time.perf_counter()
+            dec.decode(item)
+            beam_time[ti] += time.perf_counter() - t0
+            with lock:
+                done[0] += 1
+
+    threads = [threading.Thread(target=consumer, args=(i,)) for i in range(n_thr)]
+    wall0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    # producer: one TPU forward per batch, emissions to the queue
+    produced = 0
+    while produced < n_utts:
+        em, elen = fwd(params, audio, alen)
+        em_np = np.asarray(em)
+        el = np.asarray(elen)
+        for i in range(min(B, n_utts - produced)):
+            emq.put(np.ascontiguousarray(em_np[i, : int(el[i])]))
+        produced += min(B, n_utts - produced)
+    for _ in threads:
+        emq.put(None)
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - wall0
+
+    audio_s = n_utts * secs
+    rtf = wall / audio_s
+    beam_rtf = sum(beam_time) / n_thr / audio_s  # per-thread avg
+    print(json.dumps({
+        "metric": f"decode_rtf_beam{beam}_nt{n_thr}",
+        "value": round(rtf, 5),
+        "unit": "RTF (end-to-end wall / audio-s; TPU AM fwd + emission queue + native beam)",
+        "vs_baseline": round(1.0 / rtf, 1),
+        "baseline_note": "vs_baseline = x realtime; reference publishes no decode RTF",
+        "beam_rtf_per_thread": round(beam_rtf, 5),
+        "x_realtime": round(1.0 / rtf, 1),
+        "decoder_build_s": round(build_s, 2),
+        "utts": n_utts, "secs": secs, "batch": B,
+    }))
+
+
+def run_streaming_bench():
+    """500 ms chunk loop through the converted flagship bundle + online
+    native decoder: per-chunk p50/p95 latency and RTF."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.features import FeatureParams
+    from wav2letter_tpu.inference.convert import (
+        build_streaming_layers, map_params, parse_arch_file,
+    )
+    from wav2letter_tpu.inference.streaming import (
+        StreamingFeaturizer, StreamingNetwork,
+    )
+    from wav2letter_tpu.models.arch import build_arch_module
+
+    n_feat, n_label = 80, 9998
+    beam = int(os.environ.get("BENCH_BEAM", "100"))
+    secs = float(os.environ.get("BENCH_SECS", "15"))
+    chunk_ms = int(os.environ.get("BENCH_CHUNK_MS", "500"))
+
+    model = build_arch_module(STREAMING_ARCH, n_feat, n_label)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
+                        jnp.asarray([128]))
+
+    lines = parse_arch_file(STREAMING_ARCH, n_feat, n_label)
+    layers, pmap = build_streaming_layers(lines, n_feat)
+    sparams = map_params(pmap, params["params"])
+    net = StreamingNetwork(layers, sparams)
+
+    fp = FeatureParams(n_filterbanks=n_feat, local_norm_left=300)
+    sf = StreamingFeaturizer(fp)
+
+    tmpdir = tempfile.mkdtemp(prefix="w2l_sbench_")
+    words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
+    dec = _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
+
+    sr = fp.sample_rate
+    chunk_samples = sr * chunk_ms // 1000
+    audio = np.asarray(
+        0.1 * jax.random.normal(rng, (int(sr * secs),), jnp.float32)
+    )
+    stride_ms = fp.frame_stride_ms
+
+    def run_once(collect):
+        lat = []
+        fstate = sf.start()
+        nstates = net.start(1)
+        dec.decode_begin()
+        pos = 0
+        while pos < len(audio):
+            t0 = time.perf_counter()
+            chunk = audio[pos : pos + chunk_samples]
+            pos += len(chunk)
+            fstate, feats = sf.run(fstate, chunk)
+            if len(feats):
+                nstates, y = net.run(nstates, feats[None, :, :, None])
+                if y.shape[1]:
+                    dec.decode_step(np.asarray(y)[0, :, 0, :])
+            dec.get_best_hypothesis(0)
+            dec.prune(look_back=int(250 / stride_ms))
+            if collect:
+                lat.append(time.perf_counter() - t0)
+        nstates, y = net.finish(nstates)
+        if y is not None and y.shape[1]:
+            dec.decode_step(np.asarray(y)[0, :, 0, :])
+        dec.decode_end()
+        return lat
+
+    run_once(False)  # warmup: compiles every chunk-shape step
+    t0 = time.perf_counter()
+    lat = run_once(True)
+    wall = time.perf_counter() - t0
+    lat_ms = np.asarray(lat) * 1000
+    rtf = wall / secs
+    print(json.dumps({
+        "metric": f"streaming_chunk{chunk_ms}ms_beam{beam}",
+        "value": round(float(np.percentile(lat_ms, 50)), 2),
+        "unit": "ms p50 per-chunk latency (feat+net+beam+hyp, 500ms chunks)",
+        "vs_baseline": round(chunk_ms / float(np.percentile(lat_ms, 50)), 2),
+        "baseline_note": "vs_baseline = chunk budget / p50 (>1 = faster than realtime)",
+        "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "max_ms": round(float(lat_ms.max()), 2),
+        "rtf": round(rtf, 4),
+        "x_realtime": round(1.0 / rtf, 1),
+        "chunks": len(lat),
+    }))
+
+
+if __name__ == "__main__":
+    mode = os.environ.get("BENCH_MODE", "decode")
+    if mode == "streaming":
+        run_streaming_bench()
+    else:
+        run_decode_bench()

@@ -545,30 +545,38 @@ class Trainer:
                 )
                 batch, sb = self._prep(batch)
                 self._train_step = self._get_train_step()
-                (self.model_params, self.crit_params, self.model_state,
-                 self.net_opt_state,
-                 self.crit_opt_state, loss, finite, vit, elen) = self._train_step(
-                    self.model_params, self.crit_params, self.model_state,
-                    self.net_opt_state, self.crit_opt_state, sb, k,
-                    jnp.asarray(lr, jnp.float32), jnp.asarray(lr_crit, jnp.float32),
-                    saug_on, jnp.asarray(self.amp_scale, jnp.float32),
-                )
-                self.updates += 1
-                if cfg.fl_amp_use_mixed_precision:
-                    # AMP needs the overflow flag synchronously (halve scale
-                    # + skip, reference retry loop Train.cpp:1216-1237)
-                    if not bool(finite):
-                        skipped += 1
-                        self.amp_scale = max(1.0, self.amp_scale / 2.0)
-                        self._amp_good = 0
-                    else:
+                while True:
+                    (self.model_params, self.crit_params, self.model_state,
+                     self.net_opt_state,
+                     self.crit_opt_state, loss, finite, vit, elen) = self._train_step(
+                        self.model_params, self.crit_params, self.model_state,
+                        self.net_opt_state, self.crit_opt_state, sb, k,
+                        jnp.asarray(lr, jnp.float32), jnp.asarray(lr_crit, jnp.float32),
+                        saug_on, jnp.asarray(self.amp_scale, jnp.float32),
+                    )
+                    if not cfg.fl_amp_use_mixed_precision:
+                        break
+                    # AMP overflow: halve the scale and RETRY THE SAME BATCH
+                    # (reference Train.cpp:1216-1237 — the failed attempt is
+                    # free since the non-finite update was zeroed on device
+                    # and does not advance the update counter). Bail to a
+                    # skip only at the scale floor (reference throws below
+                    # kAmpMinimumScaleFactorValue; we floor at 1.0 for bf16).
+                    if bool(finite):
                         self.meters.train.loss.add(float(loss), batch["audio"].shape[0])
                         self._amp_good += 1
                         if self._amp_good % cfg.fl_amp_scale_factor_update_interval == 0:
                             self.amp_scale = min(
                                 self.amp_scale * 2.0, cfg.fl_amp_max_scale_factor
                             )
-                else:
+                        break
+                    self._amp_good = 0
+                    if self.amp_scale <= 1.0:
+                        skipped += 1  # non-finite even unscaled: bad batch
+                        break
+                    self.amp_scale = max(1.0, self.amp_scale / 2.0)
+                self.updates += 1
+                if not cfg.fl_amp_use_mixed_precision:
                     # async pipelining: keep loss/finite as device values and
                     # fetch at report boundaries so the host never stalls the
                     # device between steps
