@@ -143,6 +143,125 @@ with open(os.path.join(outdir, f"edit{proc_id}.txt"), "w") as f:
 """
 
 
+TP_WORKER = r"""
+import sys, os
+import jax
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; outdir = sys.argv[3]
+mode = sys.argv[4]  # "tp": 2-proc, model axis spans hosts | "single": 1-proc
+if mode == "tp":
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                               process_id=proc_id)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+else:
+    jax.config.update("jax_num_cpu_devices", 4)
+sys.path.insert(0, {repo!r})
+import numpy as np
+from wav2letter_tpu.config import Config
+import wav2letter_tpu.runtime.train as train_mod
+from wav2letter_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+if mode == "tp":
+    # Host-spanning tensor parallelism: mesh[dp, mp] with each MODEL-axis
+    # group holding one device from EACH process — the layout a v5e
+    # pod-slice mesh produces when mp exceeds the per-host chip count.
+    # (The default contiguous reshape would keep mp groups host-local.)
+    from jax.sharding import Mesh
+
+    devs = sorted(jax.devices(), key=lambda d: d.id)
+    arr = np.array([[devs[0], devs[2]], [devs[1], devs[3]]])
+    for row in arr:  # every mp group spans both processes
+        assert {d.process_index for d in row} == {0, 1}
+    train_mod.make_mesh = lambda spec=None, devices=None: Mesh(
+        arr, (DATA_AXIS, MODEL_AXIS))
+
+arch = os.path.join(outdir, "mp.arch")
+cfg = Config()
+cfg.update(dict(
+    train=os.path.join(outdir, "data", "data.lst"),
+    tokens=os.path.join(outdir, "data", "tokens.txt"),
+    lexicon=os.path.join(outdir, "data", "lexicon.txt"),
+    rundir=outdir, runname="run_" + mode + str(proc_id), batchsize=8,
+    mfsc=True, filterbanks=40, criterion="ctc", lr=0.1, netoptim="sgd",
+    momentum=0.9, maxgradnorm=1.0, iter=4, nthread=1, pad_multiple=64,
+    arch=arch, compute_dtype="float32", onorm="target", reportiters=0,
+    pcttraineval=0.0, seed=5, dp_axis=2, mp_axis=2,
+))
+tr = train_mod.Trainer(cfg)
+# host-spanning model axis -> every process loads the FULL global batch
+assert tr.train_ds.bucketer.world_size == 1
+from jax.sharding import PartitionSpec as P
+
+sharded = [
+    x for x in jax.tree.leaves(tr.model_params)
+    if hasattr(x, "sharding")
+    and getattr(x.sharding, "spec", P()) == P(None, MODEL_AXIS)
+]
+assert sharded, "no tensor-sharded parameter on this rank"
+tr.run()
+assert tr.updates == 4
+from jax.flatten_util import ravel_pytree
+from wav2letter_tpu.runtime.checkpoint import gather_tree
+flat, _ = ravel_pytree(gather_tree(tr.model_params))
+np.save(os.path.join(outdir, f"params_{mode}{proc_id}.npy"), np.asarray(flat))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel(tmp_path):
+    """VERDICT r2 item #5: the REAL Trainer across two processes on a
+    dp2 x mp2 mesh whose MODEL axis spans the process boundary (the v5e
+    pod-slice layout when mp > per-host chips). Asserts TP-sharded params
+    on both ranks, identical gathered params across ranks, a written
+    checkpoint (collective gather + master write), and numerical
+    equivalence with a single-process dp2 x mp2 run on the same global
+    batches — covering the full-global-batch placement + cross-host
+    collective interaction the single-process tests cannot."""
+    from tests.util_synth import make_dataset
+
+    make_dataset(str(tmp_path / "data"), n_utts=16, seed=21)
+    # big linear (1024x2048 > 2^20 elements) crosses the TP sharding heuristic
+    (tmp_path / "mp.arch").write_text(
+        "V -1 1 NFEAT 0\nC NFEAT 1024 8 4 4\nRO 2 0 3 1\nL 1024 2048\nR\nL 2048 NLABEL\n"
+    )
+    script = tmp_path / "tp_worker.py"
+    script.write_text(TP_WORKER.replace("{repo!r}", repr(REPO)))
+
+    results = {}
+    coord = f"127.0.0.1:{free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(tmp_path), "tp"],
+            env=dict(os.environ), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"[tp] {err[-3000:]}"
+    p0 = np.load(tmp_path / "params_tp0.npy")
+    p1 = np.load(tmp_path / "params_tp1.npy")
+    np.testing.assert_array_equal(p0, p1)  # gathered params agree exactly
+    assert np.isfinite(p0).all()
+    results["tp"] = p0
+    assert (tmp_path / "run_tp0" / "model_last.bin").exists()
+
+    single = subprocess.Popen(
+        [sys.executable, str(script), "0", "unused", str(tmp_path), "single"],
+        env=dict(os.environ), stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, f"[single] {err[-3000:]}"
+    results["single"] = np.load(tmp_path / "params_single0.npy")
+    # host-spanning TP == single-process TP to float tolerance (cross-host
+    # collective/compilation differences only)
+    np.testing.assert_allclose(results["tp"], results["single"], rtol=2e-4,
+                               atol=2e-5)
+
+
 @pytest.mark.slow
 def test_two_process_real_trainer(tmp_path):
     """VERDICT r1 item 1(c): the REAL Trainer (sharded dataset, jitted GSPMD

@@ -241,6 +241,32 @@ def test_kenlm_binary_native_decode_matches_arpa(tmp_path):
         assert abs(ra.score - rb.score) < 1e-3
 
 
+def test_topk_sparse_emissions_equivalent(tmp_path):
+    """Emission-transfer compression: with beam_size_token=k, decoding a
+    sparse row (top-k kept, rest -1e30) must equal decoding the full row —
+    the beam's own per-frame top-k selects exactly the kept set."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    from wav2letter_tpu.decoder import DecoderOptions as DO
+
+    for seed in (0, 1, 2):
+        em = rand_emissions(20, seed + 900)
+        k = 3
+        sparse = np.full_like(em, -1e30)
+        idx = np.argsort(-em, axis=1)[:, :k]
+        np.put_along_axis(sparse, idx, np.take_along_axis(em, idx, axis=1), axis=1)
+        opts = DO(beam_size=8, beam_size_token=k, beam_threshold=100.0,
+                  lm_weight=1.1, word_score=0.4, unk_score=-np.inf,
+                  sil_score=0.1, log_add=False,
+                  criterion_type=CriterionType.CTC)
+        da, _ = build_native(str(arpa), opts=opts)
+        db, _ = build_native(str(arpa), opts=opts)
+        ra = da.decode(em)[0]
+        rb = db.decode(sparse)[0]
+        assert ra.tokens == rb.tokens, seed
+        assert abs(ra.score - rb.score) < 1e-6
+
+
 def test_kenlm_binary_rejects_garbage(tmp_path):
     bad = tmp_path / "bad.bin"
     bad.write_bytes(b"mmap lm http://kheafield.com/code format version 9\n" + b"\0" * 256)

@@ -117,6 +117,9 @@ def test_decode_with_lm(trained, tmp_path):
             lm=str(lmp),
             lmweight=0.5,
             wordscore=0.2,
+            # < n_classes: exercises the device-side top-k emission
+            # compression path in the producer
+            beamsizetoken=5,
         )
     )
     from wav2letter_tpu.runtime.decode import run_decode

@@ -103,19 +103,49 @@ def run_decode_bench():
     params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
                         jnp.asarray([128]))
 
+    # device-side top-k emission compression (BENCH_TOPK=0 to ship full
+    # rows): the beam reads only the top beam_size_token tokens per frame,
+    # so (val, idx) pairs cut device->host transfer ~V/k — the producer's
+    # bottleneck (60 MB/batch full vs ~0.4 MB compressed at k=30)
+    topk = int(os.environ.get("BENCH_TOPK", "30"))
+
     @jax.jit
     def fwd(params, audio, audio_len):
         # params as an argument (NOT closed over: closure would embed 115M
         # floats as HLO constants — oversized compile payloads)
         feats, flen = featurizer(audio, audio_len)
         em, elen = model.apply(params, feats.astype(jnp.bfloat16), flen)
-        return jax.nn.log_softmax(em.astype(jnp.float32), -1), elen
+        em = em.astype(jnp.float32)
+        # trained CTC models are blank-dominant; the random-init AM is not,
+        # which starves the beam (candidate sets need blank present). Boost
+        # blank to reproduce the trained regime for beam-dynamics purposes.
+        em = em.at[..., n_label - 1].add(4.0)
+        em = jax.nn.log_softmax(em, -1)
+        if topk > 0:
+            vals, idx = jax.lax.top_k(em, topk)
+            return vals, idx.astype(jnp.int32), elen
+        return em, None, elen
+
+    def fetch(out):
+        """-> per-utterance full emission rows (sparse-reconstructed)."""
+        vals, idx, elen = out
+        el = np.asarray(elen)
+        if idx is None:
+            em_np = np.asarray(vals)
+            return [em_np[i, : int(el[i])] for i in range(em_np.shape[0])]
+        v, ix = np.asarray(vals), np.asarray(idx)
+        outs = []
+        for i in range(v.shape[0]):
+            T = int(el[i])
+            e = np.full((T, n_label), -1e30, np.float32)
+            np.put_along_axis(e, ix[i, :T], v[i, :T], axis=1)
+            outs.append(e)
+        return outs
 
     s = int(16000 * secs)
     audio = 0.1 * jax.random.normal(rng, (B, s), jnp.float32)
     alen = jnp.full((B,), s, jnp.int32)
-    em, elen = fwd(params, audio, alen)  # compile
-    em_np = np.asarray(em)[:, : int(np.asarray(elen)[0])]
+    fetch(fwd(params, audio, alen))  # compile
 
     tmpdir = tempfile.mkdtemp(prefix="w2l_decbench_")
     words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
@@ -152,11 +182,9 @@ def run_decode_bench():
     # producer: one TPU forward per batch, emissions to the queue
     produced = 0
     while produced < n_utts:
-        em, elen = fwd(params, audio, alen)
-        em_np = np.asarray(em)
-        el = np.asarray(elen)
+        rows = fetch(fwd(params, audio, alen))
         for i in range(min(B, n_utts - produced)):
-            emq.put(np.ascontiguousarray(em_np[i, : int(el[i])]))
+            emq.put(rows[i])
         produced += min(B, n_utts - produced)
     for _ in threads:
         emq.put(None)
@@ -176,7 +204,7 @@ def run_decode_bench():
         "beam_rtf_per_thread": round(beam_rtf, 5),
         "x_realtime": round(1.0 / rtf, 1),
         "decoder_build_s": round(build_s, 2),
-        "utts": n_utts, "secs": secs, "batch": B,
+        "utts": n_utts, "secs": secs, "batch": B, "emission_topk": topk,
     }))
 
 
@@ -208,6 +236,13 @@ def run_streaming_bench():
     lines = parse_arch_file(STREAMING_ARCH, n_feat, n_label)
     layers, pmap = build_streaming_layers(lines, n_feat)
     sparams = map_params(pmap, params["params"])
+    # blank-dominance bias (see run_decode_bench): fold +4.0 into the final
+    # linear's blank bias so the untrained AM behaves like a trained CTC
+    for k in sparams:
+        if k.endswith("_b") and sparams[k].shape[-1] == n_label:
+            b = np.array(sparams[k])
+            b[..., n_label - 1] += 4.0
+            sparams[k] = b
     net = StreamingNetwork(layers, sparams)
 
     fp = FeatureParams(n_filterbanks=n_feat, local_norm_left=300)

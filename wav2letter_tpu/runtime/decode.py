@@ -236,6 +236,18 @@ def run_decode(cfg: Config) -> Dict[str, float]:
     producers_left = [n_producers]
     producers_left_lock = threading.Lock()
 
+    # emission-transfer compression: the beam only reads the top
+    # --beamsizetoken tokens per frame, so when that bounds the vocab the
+    # producer ships device-side top-k (val, idx) pairs instead of full
+    # (T, V) rows — ~V/k less device->host traffic — and rebuilds sparse
+    # rows (-1e30 fill) host-side. Bit-identical decode: the beam's own
+    # per-frame top-k selects exactly the shipped set.
+    use_topk = (
+        ecfg.criterion not in ("seq2seq", "transformer")
+        and 0 < ecfg.beamsizetoken < ev.n_classes
+        and not (cfg.get("emission_dir") or "")
+    )
+
     def producer(stripe=0):
         emission_dir = cfg.get("emission_dir") or ""
         specs = ds.batch_specs()[stripe::n_producers]
@@ -251,9 +263,14 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                     p = os.path.join(emission_dir, f"{sid}.npz")
                     cached.append(np.load(p)["emission"] if os.path.exists(p) else None)
                 need_fwd = any(c is None for c in cached)
+            topk = None
             if need_fwd:
-                em, elen = ev.emissions(batch)
-                em = np.asarray(em)
+                if use_topk:
+                    vals, idx, elen = ev.emissions_topk(batch, ecfg.beamsizetoken)
+                    topk = (np.asarray(vals), np.asarray(idx))
+                else:
+                    em, elen = ev.emissions(batch)
+                    em = np.asarray(em)
                 elen = np.asarray(elen)
             for i in range(batch["audio"].shape[0]):
                 sidx = int(batch["sample_idx"][i])
@@ -261,6 +278,10 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                 tl = int(batch["target_len"][i])
                 if not need_fwd:
                     e = cached[i]
+                elif topk is not None:
+                    T = int(elen[i])
+                    e = np.full((T, ev.n_classes), -1e30, np.float32)
+                    np.put_along_axis(e, topk[1][i, :T], topk[0][i, :T], axis=1)
                 else:
                     e = em[i, : int(elen[i])]
                     if emission_dir:

@@ -91,18 +91,40 @@ class Evaluator:
         if cfg.criterion == "asg" and self.crit_params:
             self.transitions = jnp.asarray(self.crit_params["transitions"])
 
+        # params as jit ARGUMENTS, not closure: closed-over variables embed
+        # the whole model as HLO constants (oversized compile payloads on
+        # remote/tunneled backends, and no donation)
         self._fwd = jax.jit(self._forward)
+        self._fwd_topk = jax.jit(self._forward_topk, static_argnums=(3,))
 
-    def _forward(self, audio, audio_len):
+    def _forward(self, variables, audio, audio_len):
         feats, flen = self.featurizer(audio, audio_len)
         feats = feats.astype(
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         )
-        em, elen = self.model.apply(self.variables, feats, flen)
+        em, elen = self.model.apply(variables, feats, flen)
         return em.astype(jnp.float32), elen
 
+    def _forward_topk(self, variables, audio, audio_len, k):
+        # emission-transfer compression for beam decode: the beam only ever
+        # reads the top --beamsizetoken tokens per frame, so ship (val, idx)
+        # pairs instead of the full (T, V) rows — ~V/k less device->host
+        # traffic (the emission-queue producer's bottleneck on TPU)
+        em, elen = self._forward(variables, audio, audio_len)
+        vals, idx = jax.lax.top_k(em, k)
+        return vals, idx.astype(jnp.int32), elen
+
     def emissions(self, batch):
-        return self._fwd(jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_len"]))
+        return self._fwd(
+            self.variables, jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["audio_len"]),
+        )
+
+    def emissions_topk(self, batch, k: int):
+        return self._fwd_topk(
+            self.variables, jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["audio_len"]), int(k),
+        )
 
     def viterbi(self, em, elen):
         """Returns (path, path_len)."""

@@ -216,16 +216,25 @@ class Trainer:
             self.crit_opt_state = replicate(self.mesh, self.crit_opt_state)
 
         # --- datasets ---
+        # Rank-sharded only when every data-mesh row is process-local; with
+        # a host-spanning MODEL axis (pod-slice mesh, mp > per-host chips)
+        # every process loads the full global batch and shard_batch places
+        # per-device shards (see parallel/sharding.py).
+        from ..parallel.sharding import data_rows_process_local
+
+        self._local_data_rows = data_rows_process_local(self.mesh)
+        w_rank = jax.process_index() if self._local_data_rows else 0
+        w_size = jax.process_count() if self._local_data_rows else 1
         self.train_ds = AsrDataset(
             cfg.train, self.token_dict, self.lexicon, cfg,
-            world_rank=jax.process_index(), world_size=jax.process_count(),
+            world_rank=w_rank, world_size=w_size,
         )
         self.valid_ds: Dict[str, AsrDataset] = {}
         vbs = cfg.validbatchsize if cfg.validbatchsize > 0 else cfg.batchsize
         for tag, path in cfg.valid_sets():
             self.valid_ds[tag] = AsrDataset(
                 path, self.token_dict, self.lexicon, cfg, batch_size=vbs,
-                world_rank=jax.process_index(), world_size=jax.process_count(),
+                world_rank=w_rank, world_size=w_size,
             )
 
         self.meters = TrainMeters(list(self.valid_ds.keys()))
@@ -404,10 +413,15 @@ class Trainer:
     def _prep(self, batch):
         from ..data.batching import pad_batch_rows
 
-        # each process holds 1/process_count of the global batch (dataset is
-        # sharded by rank); pad local rows so the assembled global batch
-        # divides the data mesh axis evenly
-        per_proc = max(1, self.mesh.shape[DATA_AXIS] // jax.process_count())
+        # process-local rows: each process holds 1/process_count of the
+        # global batch (dataset sharded by rank) and pads so the assembled
+        # global batch divides the data mesh axis evenly. Host-spanning
+        # MODEL axis: this process holds the FULL global batch — pad to the
+        # whole data-axis extent.
+        if getattr(self, "_local_data_rows", True):
+            per_proc = max(1, self.mesh.shape[DATA_AXIS] // jax.process_count())
+        else:
+            per_proc = self.mesh.shape[DATA_AXIS]
         padded = pad_batch_rows(batch, per_proc)
         return padded, shard_batch(self.mesh, padded)
 
@@ -482,17 +496,30 @@ class Trainer:
         return {}
 
     def save(self, tag: Optional[str] = None):
-        if jax.process_index() != 0 or not self.rundir:
+        if not self.rundir:
+            return
+        # gather is COLLECTIVE when TP shards span hosts (pod-slice mesh):
+        # every rank participates, then only the master writes
+        from .checkpoint import gather_tree
+
+        gathered = {
+            "model_params": gather_tree(self.model_params),
+            "model_state": gather_tree(self.model_state),
+            "crit_params": gather_tree(self.crit_params),
+            "opt_state": gather_tree(self.net_opt_state),
+            "crit_opt_state": gather_tree(self.crit_opt_state),
+        }
+        if jax.process_index() != 0:
             return
         ckpt = Checkpoint(
             config=self.cfg.serialize(),
             epoch=self.epoch,
             updates=self.updates,
-            model_params=self.model_params,
-            model_state=self.model_state,
-            crit_params=self.crit_params,
-            opt_state=self.net_opt_state,
-            crit_opt_state=self.crit_opt_state,
+            model_params=gathered["model_params"],
+            model_state=gathered["model_state"],
+            crit_params=gathered["crit_params"],
+            opt_state=gathered["opt_state"],
+            crit_opt_state=gathered["crit_opt_state"],
             extra=self._ckpt_extra(),
         )
         save_checkpoint(os.path.join(self.rundir, "model_last.bin"), ckpt)
