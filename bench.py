@@ -197,7 +197,8 @@ def s2s_bench():
 
     n_feat, n_label, enc_dim = 80, 9998, 512
     arch = "/root/reference/recipes/sota/2019/am_arch/am_tds_s2s.arch"
-    model = build_arch_module(arch, n_feat, enc_dim)
+    # the arch hard-codes L 1440 1024 = 2x encoderdim (keyvalue split)
+    model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
     cfg = Config()
     cfg.update(dict(
         criterion="seq2seq", attention="keyvalue", encoderdim=enc_dim,

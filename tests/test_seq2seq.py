@@ -262,3 +262,44 @@ def test_gumbel_sampling(toy):
     crit_r = make_crit(pct_teacher_forcing=0.0, sampling_strategy="rand")
     l_r = crit_r.apply(p, *args, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(l), np.asarray(l_r))
+
+
+def test_keyvalue_arch_2x_encoderdim_trains(tmp_path):
+    """Reference keyvalue s2s recipes hard-code the encoder output at
+    2 x --encoderdim (e.g. am_tds_s2s.arch ends `L 1440 1024` with
+    encoderdim=512); the criterion splits keys/values. The arch builder
+    must NOT force-reshape the encoder output to encoderdim (round-3
+    regression: force_label_dim silently folded the feature dim into
+    time, breaking every keyvalue arch)."""
+    import os
+
+    from tests.util_synth import make_dataset
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train import Trainer
+
+    lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=8, seed=77)
+    arch = tmp_path / "kv.arch"
+    # final linear outputs 64 = 2 x encoderdim(32)
+    arch.write_text(
+        "V -1 1 NFEAT 0\nC NFEAT 64 8 4 4\nGLU 2\nRO 2 0 3 1\nL 32 64\n"
+    )
+    cfg = Config()
+    cfg.update(
+        dict(train=lst, tokens=tokens, lexicon=lexicon, rundir=str(tmp_path),
+             runname="kv", batchsize=8, mfsc=True, filterbanks=40,
+             criterion="seq2seq", attention="keyvalue", encoderdim=32,
+             maxdecoderoutputlen=12, lr=0.05, netoptim="adam", lrcrit=0.05,
+             critoptim="adam", iter=4, nthread=1, pad_multiple=64,
+             arch=str(arch), compute_dtype="float32")
+    )
+    tr = Trainer(cfg)
+    # encoder must emit 64-dim states, not a time-folded 32
+    import jax
+    import jax.numpy as jnp
+
+    em, _ = tr.model.apply(
+        {"params": tr.model_params}, jnp.zeros((1, 64, 40)), jnp.asarray([64])
+    )
+    assert em.shape[-1] == 64, em.shape
+    tr.run()
+    assert tr.updates == 4

@@ -628,10 +628,17 @@ class ArchSequential(nn.Module):
 
 
 class ArchModel(nn.Module):
-    """User-facing acoustic model: (B, T, C) features -> (B, T_out, N)."""
+    """User-facing acoustic model: (B, T, C) features -> (B, T_out, N).
+
+    ``force_label_dim=False`` for s2s encoders: keyvalue-attention archs
+    hard-code an output of 2x encoderdim (e.g. ``L 1440 1024`` in
+    am_tds_s2s.arch with --encoderdim=512), so the canonicalizing reshape
+    to ``n_label`` must not run (it would silently halve the feature dim
+    by folding it into time)."""
 
     specs: Tuple[LayerSpec, ...]
     n_label: int
+    force_label_dim: bool = True
 
     @nn.compact
     def __call__(
@@ -647,12 +654,21 @@ class ArchModel(nn.Module):
         # (B, T, C) -> AF (T, C, 1, B) == stored (B, 1, C, T)
         x = feats.transpose(0, 2, 1)[:, None]  # (B, 1, C, T)
         y = ArchSequential(self.specs, name="seq")(x, pad_frac, train)
-        # canonicalize output to (B, T_out, N)
+        # canonicalize output to (B, T_out, N). The batch dim can land on
+        # any axis after V/RO lines, so squeeze the 1-dims and anchor on B —
+        # with the B == 1 case handled explicitly (it used to fall through
+        # to the n_label reshape, folding the feature dim into time for
+        # archs whose output dim != n_label, e.g. keyvalue s2s encoders).
         sq = [d for d in y.shape if d != 1]
-        y = y.reshape(sq) if len(sq) == 3 else y.reshape((B, -1, self.n_label))
+        if len(sq) == 3 and sq[0] == B:
+            y = y.reshape(sq)
+        elif len(sq) == 2 and B == 1:
+            y = y.reshape((1,) + tuple(sq))
+        else:
+            y = y.reshape((B, -1, self.n_label))
         if y.shape[0] != B:
             raise ValueError(f"unexpected arch output shape {y.shape}")
-        if y.shape[-1] != self.n_label:
+        if self.force_label_dim and y.shape[-1] != self.n_label:
             y = y.reshape((B, -1, self.n_label))
         t_out = y.shape[1]
         out_len = jnp.ceil(pad_frac * t_out).astype(jnp.int32)
@@ -660,11 +676,11 @@ class ArchModel(nn.Module):
 
 
 def build_arch_module(
-    arch_path: str, n_feat: int, n_label: int
+    arch_path: str, n_feat: int, n_label: int, force_label_dim: bool = True
 ) -> ArchModel:
     lines = parse_arch_file(arch_path, n_feat, n_label)
     specs = tuple(parse_arch_lines(lines))
-    return ArchModel(specs, n_label)
+    return ArchModel(specs, n_label, force_label_dim)
 
 
 def build_arch_from_lines(lines: Sequence[str], n_label: int) -> ArchModel:

@@ -160,8 +160,14 @@ class MultiHeadSelfAttention(nn.Module):
         # training/eval encoder case: non-causal, rel-pos window reachable
         # (T <= bptt), batched (B, T, C) input on a TPU device.
         mode = _fused_attn_mode()
-        on_tpu = (jax.devices()[0].platform in ("tpu", "axon")
-                  and jax.device_count() == 1)  # GSPMD can't partition it
+        is_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        # multi-chip: GSPMD can't partition the Pallas custom call itself,
+        # but shard_map over the training mesh runs it per-shard (data axis
+        # on batch; model axis on head blocks when heads divide)
+        from ..parallel.mesh import current_mesh
+
+        mesh = current_mesh() if jax.device_count() > 1 else None
+        on_tpu = is_tpu and (jax.device_count() == 1 or mesh is not None)
         if (
             (mode == "force" or (mode != "0" and on_tpu))
             and not self.causal
@@ -169,7 +175,7 @@ class MultiHeadSelfAttention(nn.Module):
             and T <= self.bptt
             and x.ndim >= 3
         ):
-            from ..ops.pallas.attention import fused_mhsa
+            from ..ops.pallas.attention import fused_mhsa, fused_mhsa_shardable
 
             rate = self.dropout if train else 0.0
             seed = None
@@ -186,13 +192,23 @@ class MultiHeadSelfAttention(nn.Module):
                 mask_bias = jnp.zeros(x.shape[:-1], jnp.float32)
             lead = x.shape[:-2]  # flatten leading dims: archs reach TR 4-d
             nb = int(np.prod(lead)) if lead else 1
-            out = fused_mhsa(
+            args = (
                 (q / math.sqrt(Dh)).reshape(nb, T, H * Dh),
                 k.reshape(nb, T, H * Dh), v.reshape(nb, T, H * Dh),
                 win, mask_bias.reshape(nb, T).astype(jnp.float32), H,
-                dropout_rate=rate, seed=seed, interpret=not on_tpu,
-            ).reshape(x.shape[:-1] + (H * Dh,))
-            return TFLinear(H * Dh, self.model_dim, 1.0, True, name="wf")(out)
+            )
+            kw = dict(dropout_rate=rate, seed=seed, interpret=not is_tpu)
+            if mode == "force" and jax.device_count() > 1 and mesh is None:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh()  # tests: all-data mesh over all devices
+            out = (fused_mhsa_shardable(mesh, *args, **kw)
+                   if mesh is not None else fused_mhsa(*args, **kw))
+            if out is not None:
+                out = out.reshape(x.shape[:-1] + (H * Dh,))
+                return TFLinear(H * Dh, self.model_dim, 1.0, True,
+                                name="wf")(out)
+            # shapes didn't divide the mesh: fall through to the XLA path
 
         def split(a):  # (..., T, H*Dh) -> (..., H, T, Dh)
             a = a.reshape(a.shape[:-1] + (H, Dh))

@@ -37,6 +37,21 @@ class MeshSpec:
         return cls(dp, mp)
 
 
+# Current training mesh, published by the Trainer so mesh-aware kernels
+# (e.g. the fused attention's shard_map wrapper) can partition themselves
+# without threading the mesh through every module signature.
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
 def make_mesh(
     spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = None
 ) -> Mesh:

@@ -69,7 +69,12 @@ class Evaluator:
 
             self.model = load_plugin_module(arch_path, self.n_feat, out_dim)
         else:
-            self.model = build_arch_module(arch_path, self.n_feat, out_dim)
+            self.model = build_arch_module(
+                arch_path, self.n_feat, out_dim,
+                # s2s encoders emit the arch's own output dim (2x
+                # encoderdim for keyvalue) — never force-reshape
+                force_label_dim=not self.is_s2s,
+            )
         self.s2s_criterion = None
         if self.is_s2s:
             from ..criterions import make_criterion

@@ -135,7 +135,12 @@ class Trainer:
 
             self.model = load_plugin_module(arch_path, self.n_feat, out_dim)
         else:
-            self.model = build_arch_module(arch_path, self.n_feat, out_dim)
+            self.model = build_arch_module(
+                arch_path, self.n_feat, out_dim,
+                # s2s encoders emit the arch's own output dim (2x
+                # encoderdim for keyvalue) — never force-reshape
+                force_label_dim=not self.is_s2s,
+            )
         self.criterion = make_criterion(cfg, self.n_classes)
 
         # --- init params ---
@@ -196,6 +201,9 @@ class Trainer:
 
         # --- mesh & placement ---
         self.mesh = make_mesh(MeshSpec.from_config(cfg))
+        from ..parallel.mesh import set_current_mesh
+
+        set_current_mesh(self.mesh)  # mesh-aware kernels (fused attention)
         from ..parallel.mesh import MODEL_AXIS
         from ..parallel.sharding import shard_params
 
