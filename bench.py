@@ -200,9 +200,12 @@ def s2s_bench():
     # the arch hard-codes L 1440 1024 = 2x encoderdim (keyvalue split)
     model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
     cfg = Config()
+    # BENCH_TF=100 measures the pure-teacher-forcing scan (out-projection
+    # hoisted to one batched GEMM); 99 is the recipe's scheduled sampling
+    tf_pct = float(os.environ.get("BENCH_TF", "99"))
     cfg.update(dict(
         criterion="seq2seq", attention="keyvalue", encoderdim=enc_dim,
-        eostoken=True, labelsmooth=0.05, pctteacherforcing=99,
+        eostoken=True, labelsmooth=0.05, pctteacherforcing=tf_pct,
         maxdecoderoutputlen=120, attnWindow="softPretrain", softwstd=4.0,
         trainWithWindow=True, pretrainWindow=3,
     ))
@@ -271,7 +274,8 @@ def s2s_bench():
     dt = time.perf_counter() - t0
     value = n_iters * B * secs / dt / jax.device_count()
     print(json.dumps({
-        "metric": "train_throughput_tds_s2s",
+        "metric": "train_throughput_tds_s2s" + (
+            "_tf100" if tf_pct >= 100 else ""),
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / A100_BASELINE_AUDIO_S_PER_S, 3),

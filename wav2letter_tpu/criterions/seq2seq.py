@@ -182,6 +182,17 @@ class Seq2SeqCriterion(nn.Module):
         ``dropout_rng``: when given (training), --decoderdropout is applied
         to each round's GRU output (upstream passes it as the decoder RNN
         dropout)."""
+        state, x = self.decode_step_core(state, tok, enc, enc_mask, step_idx,
+                                         windowed, dropout_rng)
+        return state, self.out(x)
+
+    def decode_step_core(self, state, tok, enc, enc_mask, step_idx,
+                         windowed=False, dropout_rng=None):
+        """decode_step minus the output projection: returns (state, x) with
+        x the pre-logit hidden. Lets the teacher-forced training scan hoist
+        the hidden->vocab matmul (the step's FLOPs bulk: hidden x ~10k)
+        outside the sequential loop as ONE batched (B*(U+1), hidden) GEMM —
+        only the GRU recurrence and attention stay in the scan."""
         c = self.cfg
         hiddens, prev_peak = state
         x = self.embedding(tok)
@@ -206,9 +217,8 @@ class Seq2SeqCriterion(nn.Module):
                 x = jnp.where(m, x / keep, jnp.zeros((), x.dtype))
             summary, a = self._attend(x, enc, mask, rnd=r)
             x = summary + x
-        logits = self.out(x)
         peak = jnp.argmax(a, axis=-1).astype(jnp.int32)
-        return (tuple(new_h), peak), logits
+        return (tuple(new_h), peak), x
 
     def init_state(self, batch: int, dtype=jnp.float32):
         c = self.cfg
@@ -245,15 +255,23 @@ class Seq2SeqCriterion(nn.Module):
         use_window = window and train and c.attn_window not in ("no", "")
         do_rng = tf_rng if (train and c.dropout > 0) else None
 
+        # pure teacher forcing (eval, or --pctteacherforcing=100): hoist the
+        # hidden->vocab projection out of the scan — one (B*(U+1), hidden)
+        # GEMM instead of U+1 skinny ones; scheduled sampling needs logits
+        # in-loop (the sampled token feeds the next step)
+        sample = train and c.pct_teacher_forcing < 100.0
+        hoist_out = not sample
+
         def body(carry, u):
             state, prev_tok = carry
-            state, logits = self.decode_step(
+            step = self.decode_step_core if hoist_out else self.decode_step
+            state, logits = step(
                 state, prev_tok, emissions, enc_mask, u, windowed=use_window,
                 dropout_rng=(jax.random.fold_in(do_rng, 500 + u)
                              if do_rng is not None else None),
             )
             next_tok = dec_in[:, jnp.minimum(u + 1, U)]
-            if tf_rng is not None:
+            if sample:
                 use_tf = jax.random.uniform(jax.random.fold_in(tf_rng, u), (B,)) < (
                     c.pct_teacher_forcing / 100.0
                 )
@@ -274,10 +292,11 @@ class Seq2SeqCriterion(nn.Module):
                 next_tok = jnp.where(use_tf, next_tok, sampled)
             return (state, next_tok), logits
 
-        (_, _), all_logits = jax.lax.scan(
+        (_, _), ys = jax.lax.scan(
             body, (self.init_state(B, emissions.dtype), dec_in[:, 0]), jnp.arange(U + 1)
         )
-        logits = all_logits.transpose(1, 0, 2)  # (B, U+1, N)
+        ys = ys.transpose(1, 0, 2)  # (B, U+1, hidden | N)
+        logits = self.out(ys) if hoist_out else ys  # (B, U+1, N)
         return self._nll(logits, tgt_in, target_len, emis_len)
 
     def _nll(self, logits, tgt_in, target_len, emis_len):
