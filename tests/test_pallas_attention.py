@@ -340,3 +340,42 @@ def test_tr_layer_fused_multichip_matches_xla(monkeypatch):
     valid = np.asarray(mask)
     np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(want)[valid],
                                atol=3e-4, rtol=3e-4)
+
+
+def test_fused_shardable_inside_jit_with_sharded_inputs(monkeypatch):
+    """Trainer-shaped usage: the shard_map-wrapped kernel inside jit with
+    GSPMD-sharded batch inputs (grad included) — what a real multi-chip
+    train step compiles."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wav2letter_tpu.models.transformer import TransformerLayer
+    from wav2letter_tpu.parallel.mesh import (
+        DATA_AXIS, MeshSpec, make_mesh, set_current_mesh,
+    )
+
+    B, T, C, H = 8, 16, 64, 4
+    layer = TransformerLayer(model_dim=C, mlp_dim=96, n_heads=H, bptt=50,
+                             dropout=0.0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    mask = jnp.ones((B, T), bool)
+    params = layer.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(p, x):
+        return jnp.sum(layer.apply(p, x, mask) ** 2)
+
+    want_l, want_g = jax.value_and_grad(loss)(params, x)  # XLA path
+
+    mesh = make_mesh(MeshSpec(4, 2))
+    set_current_mesh(mesh)
+    try:
+        monkeypatch.setenv("W2L_FUSED_ATTN", "force")
+        xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        got_l, got_g = jax.jit(jax.value_and_grad(loss))(params, xs)
+        got_l = float(got_l)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_allclose(got_l, float(want_l), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(want_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)

@@ -56,10 +56,34 @@ def _synth_lexicon_and_lm(n_words, n_tokens, tmpdir, order=3, seed=0):
     return words, spellings, arpa
 
 
-def _build_native(words, spellings, arpa, n_tokens, beam, sil, blank):
+def _make_bench_convlm(words, lm_memory=50000):
+    """Small GCNN word LM over the bench vocab (deferred-scoring path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.decoder.convlm import ConvLM
+    from wav2letter_tpu.models.arch import parse_arch_lines
+    from wav2letter_tpu.models.lm import LMArchModel
+
+    V = len(words) + 2  # + </s>, <unk>
+    lines = [
+        "V -1 0 1 1", f"E 128 {V}", "RO 1 3 0 2",
+        "WN 3 AC 128 256 5 1 -1 0", "GLU 2",
+        "WN 3 AC 128 256 5 1 -1 0", "GLU 2",
+        "RO 2 0 3 1", f"WN 0 L 128 {V}",
+    ]
+    m = LMArchModel(tuple(parse_arch_lines(lines)), V, V)
+    p = m.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 8), jnp.int32))
+    vocab = list(words) + ["</s>", "<unk>"]
+    return ConvLM(m, p, vocab, usr_vocab=words, context=16,
+                  lm_memory=lm_memory)
+
+
+def _build_native(words, spellings, arpa, n_tokens, beam, sil, blank,
+                  convlm=None):
     from wav2letter_tpu.decoder import CriterionType, DecoderOptions
     from wav2letter_tpu.decoder.native import (
-        NativeBeamDecoder, NativeLM, NativeTrie,
+        NativeBeamDecoder, NativeExternalLM, NativeLM, NativeTrie,
     )
 
     opts = DecoderOptions(
@@ -67,11 +91,15 @@ def _build_native(words, spellings, arpa, n_tokens, beam, sil, blank):
         lm_weight=1.5, word_score=0.5, unk_score=-np.inf, sil_score=0.2,
         log_add=False, criterion_type=CriterionType.CTC,
     )
-    lm = NativeLM(arpa, usr_vocab=words)
-    trie = NativeTrie(n_tokens)
-    from wav2letter_tpu.decoder.lm import KenLM
+    if convlm is not None:
+        lm = NativeExternalLM(convlm)
+        score_lm = convlm
+    else:
+        from wav2letter_tpu.decoder.lm import KenLM
 
-    score_lm = KenLM(arpa, usr_vocab=words)
+        lm = NativeLM(arpa, usr_vocab=words)
+        score_lm = KenLM(arpa, usr_vocab=words)
+    trie = NativeTrie(n_tokens)
     start = score_lm.start(False)
     for wi, w in enumerate(words):
         _, sc = score_lm.score(start, wi)
@@ -150,10 +178,16 @@ def run_decode_bench():
     tmpdir = tempfile.mkdtemp(prefix="w2l_decbench_")
     words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
 
-    # warm one decoder (trie/LM build measured separately below)
+    # BENCH_LM=convlm: neural LM through the deferred batched-scoring
+    # protocol (one device call per step batch per decoder) instead of the
+    # in-process n-gram
+    lm_kind = os.environ.get("BENCH_LM", "ngram")
     t0 = time.perf_counter()
     decoders = [
-        _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
+        _build_native(
+            words, spellings, arpa, n_label, beam, 0, n_label - 1,
+            convlm=_make_bench_convlm(words) if lm_kind == "convlm" else None,
+        )
         for _ in range(n_thr)
     ]
     build_s = time.perf_counter() - t0
@@ -196,7 +230,8 @@ def run_decode_bench():
     rtf = wall / audio_s
     beam_rtf = sum(beam_time) / n_thr / audio_s  # per-thread avg
     print(json.dumps({
-        "metric": f"decode_rtf_beam{beam}_nt{n_thr}",
+        "metric": f"decode_rtf_beam{beam}_nt{n_thr}" + (
+            "_convlm" if lm_kind == "convlm" else ""),
         "value": round(rtf, 5),
         "unit": "RTF (end-to-end wall / audio-s; TPU AM fwd + emission queue + native beam)",
         "vs_baseline": round(1.0 / rtf, 1),
@@ -259,29 +294,65 @@ def run_streaming_bench():
     )
     stride_ms = fp.frame_stride_ms
 
+    # BENCH_STREAMS=N: multi-stream serving — the TPU-native inversion of
+    # MultithreadedStreamingASRExample (one thread-pool stream per core):
+    # the N streams' frames BATCH through one stream-net step on the chip,
+    # while the N independent beams run on host threads.
+    n_streams = int(os.environ.get("BENCH_STREAMS", "1"))
+    decs = [dec] + [
+        _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
+        for _ in range(n_streams - 1)
+    ]
+
     def run_once(collect):
+        import concurrent.futures as cf
+
         lat = []
-        fstate = sf.start()
-        nstates = net.start(1)
-        dec.decode_begin()
+        fstates = [sf.start() for _ in range(n_streams)]
+        nstates = net.start(n_streams)
+        for d in decs:
+            d.decode_begin()
+        pool = (cf.ThreadPoolExecutor(n_streams) if n_streams > 1 else None)
         pos = 0
         while pos < len(audio):
             t0 = time.perf_counter()
             chunk = audio[pos : pos + chunk_samples]
             pos += len(chunk)
-            fstate, feats = sf.run(fstate, chunk)
+            outs = [sf.run(fs, chunk) for fs in fstates]
+            fstates = [o[0] for o in outs]
+            feats = outs[0][1]  # identical audio per stream: same frames
             if len(feats):
-                nstates, y = net.run(nstates, feats[None, :, :, None])
+                x = np.broadcast_to(
+                    feats[None, :, :, None],
+                    (n_streams,) + feats.shape + (1,),
+                )
+                nstates, y = net.run(nstates, x)
                 if y.shape[1]:
-                    dec.decode_step(np.asarray(y)[0, :, 0, :])
-            dec.get_best_hypothesis(0)
-            dec.prune(look_back=int(250 / stride_ms))
+                    em = np.asarray(y)[:, :, 0, :]
+
+                    def step_one(i):
+                        decs[i].decode_step(em[i])
+                        decs[i].get_best_hypothesis(0)
+                        decs[i].prune(look_back=int(250 / stride_ms))
+
+                    if pool is not None:
+                        list(pool.map(step_one, range(n_streams)))
+                    else:
+                        step_one(0)
+            else:
+                for d in decs:
+                    d.get_best_hypothesis(0)
             if collect:
                 lat.append(time.perf_counter() - t0)
         nstates, y = net.finish(nstates)
         if y is not None and y.shape[1]:
-            dec.decode_step(np.asarray(y)[0, :, 0, :])
-        dec.decode_end()
+            em = np.asarray(y)[:, :, 0, :]
+            for i, d in enumerate(decs):
+                d.decode_step(em[i])
+        for d in decs:
+            d.decode_end()
+        if pool is not None:
+            pool.shutdown()
         return lat
 
     run_once(False)  # warmup: compiles every chunk-shape step
@@ -291,7 +362,7 @@ def run_streaming_bench():
     lat_ms = np.asarray(lat) * 1000
     rtf = wall / secs
     print(json.dumps({
-        "metric": f"streaming_chunk{chunk_ms}ms_beam{beam}",
+        "metric": f"streaming_chunk{chunk_ms}ms_beam{beam}" + (f"_x{n_streams}" if n_streams > 1 else ""),
         "value": round(float(np.percentile(lat_ms, 50)), 2),
         "unit": "ms p50 per-chunk latency (feat+net+beam+hyp, 500ms chunks)",
         "vs_baseline": round(chunk_ms / float(np.percentile(lat_ms, 50)), 2),
@@ -300,6 +371,8 @@ def run_streaming_bench():
         "max_ms": round(float(lat_ms.max()), 2),
         "rtf": round(rtf, 4),
         "x_realtime": round(1.0 / rtf, 1),
+        "streams": n_streams,
+        "aggregate_x_realtime": round(n_streams / rtf, 1),
         "chunks": len(lat),
     }))
 
