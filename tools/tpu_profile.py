@@ -44,6 +44,24 @@ def build_step():
         n_label = 30
         arch = "/root/reference/recipes/conv_glu/librispeech/network.arch"
         model = build_arch_module(arch, n_feat, n_label)
+    elif which == "conformer":
+        import tempfile as _tf
+
+        from wav2letter_tpu.models.arch import build_arch_module
+
+        frontend = [
+            "V -1 1 NFEAT 0",
+            "WN 3 C NFEAT 1024 3 1 -1", "GLU 2", "DO 0.2", "M 1 1 2 1",
+            "WN 3 C 512 1024 3 1 -1", "GLU 2", "DO 0.2", "M 1 1 2 1",
+            "WN 3 C 512 2048 3 1 -1", "GLU 2", "DO 0.2", "M 1 1 2 1",
+            "RO 2 0 3 1",
+        ]
+        blocks = ["CFR 1024 4096 4 460 31 0.2"] * 20
+        tail = ["DO 0.2", "L 1024 NLABEL"]
+        af = _tf.NamedTemporaryFile("w", suffix=".arch", delete=False)
+        af.write("\n".join(frontend + blocks + tail) + "\n")
+        af.close()
+        model = build_arch_module(af.name, n_feat, n_label)
     else:
         model = _build_model(n_feat, n_label)
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
