@@ -62,6 +62,8 @@ def build_step():
         af.write("\n".join(frontend + blocks + tail) + "\n")
         af.close()
         model = build_arch_module(af.name, n_feat, n_label)
+    elif which == "tds_s2s":
+        return build_s2s_step()
     else:
         model = _build_model(n_feat, n_label)
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
@@ -94,6 +96,70 @@ def build_step():
 
     args = (params, opt_state, audio, audio_len, targets, target_len)
     return step, args
+
+
+def build_s2s_step():
+    """seq2seq_tds family step (encoder + GRU attention-decoder criterion),
+    matching bench.py's s2s_bench."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.criterions import make_criterion
+    from wav2letter_tpu.features import FeatureParams, Featurizer
+    from wav2letter_tpu.models.arch import build_arch_module
+
+    n_feat, n_label, enc_dim = 80, 9998, 512
+    arch = "/root/reference/recipes/sota/2019/am_arch/am_tds_s2s.arch"
+    model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
+    cfg = Config()
+    cfg.update(dict(
+        criterion="seq2seq", attention="keyvalue", encoderdim=enc_dim,
+        eostoken=True, labelsmooth=0.05,
+        pctteacherforcing=float(os.environ.get("BENCH_TF", "99")),
+        maxdecoderoutputlen=120, attnWindow="softPretrain", softwstd=4.0,
+        trainWithWindow=True, pretrainWindow=3,
+    ))
+    criterion = make_criterion(cfg, n_label)
+    featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
+    tx = optax.sgd(1e-3, momentum=0.9)
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    S = int(16000 * float(os.environ.get("BENCH_SECS", "15")))
+    U = int(os.environ.get("BENCH_TGT", "80"))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
+                        jnp.asarray([128]))
+    em_d, el_d = model.apply(params, jnp.zeros((1, 128, n_feat)),
+                             jnp.asarray([128]))
+    crit_params = criterion.init(
+        rng, em_d, jnp.zeros((1, 8), jnp.int32), el_d,
+        jnp.full((1,), 8, jnp.int32))["params"]
+    opt_state = tx.init((params, crit_params))
+    audio = jax.random.normal(rng, (B, S)) * 0.1
+    audio_len = jnp.full((B,), S, jnp.int32)
+    targets = jax.random.randint(rng, (B, U), 0, n_label - 2)
+    target_len = jnp.full((B,), U, jnp.int32)
+
+    @jax.jit
+    def step(ps, o, au, alen, tg, tlen):
+        p, cp = ps
+
+        def loss_fn(p, cp):
+            feats, flen = featurizer(au, alen)
+            em, elen = model.apply(p, feats.astype(jnp.bfloat16), flen)
+            losses = criterion.apply(
+                {"params": cp}, em.astype(jnp.float32), tg, elen, tlen,
+                train=True, rngs={"dropout": rng})
+            return losses.mean() / 100.0
+
+        l, g = jax.value_and_grad(loss_fn, argnums=(0, 1))(p, cp)
+        up, o = tx.update(g, o, (p, cp))
+        return optax.apply_updates((p, cp), up), o, l
+
+    return step, ((params, crit_params), opt_state, audio, audio_len,
+                  targets, target_len)
 
 
 def main():
