@@ -1360,6 +1360,14 @@ struct Decoder {
   }
 
   void step_apply(const float* scores) {
+    if (deferred && !scores && !reqs.empty()) {
+      // caller used the sync API with an ExternalLM: LM scores would be
+      // silently dropped — surface it loudly
+      std::fprintf(stderr,
+                   "w2l_decoder: %zu pending LM requests but no scores "
+                   "(use the collect/apply API with a deferred LM)\n",
+                   reqs.size());
+    }
     std::unordered_map<std::tuple<int, int, bool>, int, KeyHash> keys;
     std::vector<Hyp> cands;
     cands.reserve(pend.size());
