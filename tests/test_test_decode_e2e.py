@@ -173,7 +173,9 @@ def test_decode_with_convlm_native(trained, tmp_path):
             am=os.path.join(tr.rundir, "model_last.bin"),
             test=lst,
             nthread=1,
-            nthread_decoder=1,
+            # 2 consumer threads: concurrent deferred-LM scoring (each
+            # thread owns a decoder + ConvLM; device calls interleave)
+            nthread_decoder=2,
             beamsize=12,
             beamthreshold=100.0,
             uselexicon=True,
