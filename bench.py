@@ -101,7 +101,12 @@ def main():
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    # Default batch: the measured per-chip sweet spot for the flagship TDS
+    # (audio-s/s/chip 4597 @32 → 5307 @64 → 5944 @96 → 7164 @128 → OOM
+    # @160; BENCH.md round-3 sweep — the small-channel TDS convs underfill
+    # MXU tiles at small batch). Other models override below/via env.
+    default_b = "128" if which == "tds" else "32"
+    B = int(os.environ.get("BENCH_BATCH", default_b))
     secs = float(os.environ.get("BENCH_SECS", "15"))
     # BENCH_BUCKETS="5,10,15": bucketed multi-shape mode — one compiled step
     # per duration bucket (the trainer's static-shape bucketing), batches
@@ -175,6 +180,8 @@ def main():
                 "vs_baseline": round(value / A100_BASELINE_AUDIO_S_PER_S, 3),
                 "baseline_is_estimate": True,
                 "baseline_note": "A100 flashlight ~600 audio-s/s/chip (estimated; reference publishes no throughput)",
+                "batch": B,
+                "secs": secs,
             }
         )
     )
