@@ -34,6 +34,10 @@ def main():
         from tools.decode_bench import run_decode_bench
 
         return run_decode_bench()
+    if mode == "decode_s2s":
+        from tools.decode_bench import run_s2s_decode_bench
+
+        return run_s2s_decode_bench()
     if mode == "streaming":
         from tools.decode_bench import run_streaming_bench
 
