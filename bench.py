@@ -105,11 +105,12 @@ def main():
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
-    # Default batch: the measured per-chip sweet spot for the flagship TDS
-    # (audio-s/s/chip 4597 @32 → 5307 @64 → 5944 @96 → 7164 @128 → OOM
-    # @160; BENCH.md round-3 sweep — the small-channel TDS convs underfill
-    # MXU tiles at small batch). Other models override below/via env.
-    default_b = "128" if which == "tds" else "32"
+    # Default batch = each family's measured per-chip sweet spot (BENCH.md
+    # round-3 sweeps): the small-channel TDS convs underfill MXU tiles at
+    # small batch (4597 @32 → 7164 @128), the wide-channel
+    # transformer/conformer saturate much earlier.
+    default_b = {"tds": "128", "transformer": "64", "conformer": "32",
+                 "conv_glu": "32"}.get(which, "32")
     B = int(os.environ.get("BENCH_BATCH", default_b))
     secs = float(os.environ.get("BENCH_SECS", "15"))
     # BENCH_BUCKETS="5,10,15": bucketed multi-shape mode — one compiled step
@@ -224,7 +225,7 @@ def s2s_bench():
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))  # measured sweet spot
     secs = float(os.environ.get("BENCH_SECS", "15"))
     U = int(os.environ.get("BENCH_TGT", "80"))  # ~wp tokens in 15 s speech
 
