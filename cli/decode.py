@@ -15,6 +15,11 @@ from wav2letter_tpu.config import Config
 
 
 def main():
+    # the product decode binary refuses a silent ~100x Python-beam fallback
+    # when the native core fails to build/load (the reference binary cannot
+    # even start without its decoder lib); export W2L_REQUIRE_NATIVE=0 to
+    # opt back into the fallback
+    os.environ.setdefault("W2L_REQUIRE_NATIVE", "1")
     cfg = Config.from_sources(argv=sys.argv[1:])
     if any(a.startswith("--lmweight_low") for a in sys.argv[1:]):
         from wav2letter_tpu.runtime.decode import run_lmweight_sweep

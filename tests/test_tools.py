@@ -361,3 +361,55 @@ def test_gutenberg_corpus_end_to_end(tmp_path):
     assert len(res["vocab"]) == 5
     freqs = dict(res["frequencies"])
     assert freqs["the"] >= 2
+
+
+def test_kaldi_to_listfile(tmp_path):
+    """prepare_kaldi_dir vs the reference kaldi_to_listfile.py: wav.scp
+    (plain + sox-pipe entries), segments cut to per-utterance wavs, list
+    rows `uid path dur_ms transcript`."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from wav2letter_tpu.data.audio import load_audio_with_sr
+    from wav2letter_tpu.data.listfile import read_list_file
+    from wav2letter_tpu.tools.data_prep import prepare_kaldi_dir
+
+    src = tmp_path / "kaldi"
+    src.mkdir()
+    sr = 16000
+    # 4s source wav, stereo for the remix case
+    t = np.arange(4 * sr) / sr
+    mono = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wavfile.write(str(src / "a.wav"), sr, (mono * 32767).astype(np.int16))
+    stereo = np.stack([mono, 0.5 * mono], axis=1)
+    wavfile.write(str(src / "b.wav"), sr, (stereo * 32767).astype(np.int16))
+
+    (src / "wav.scp").write_text(
+        f"W1 {src}/a.wav\n"
+        f"W2 sox {src}/b.wav -t wav - remix 1 |\n"
+    )
+    (src / "segments").write_text(
+        "U1 W1 0.50 1.50\n"
+        "U2 W1 2.00 3.25\n"
+        "U3 W2 1.00 2.00\n"
+    )
+    (src / "text").write_text(
+        "U1 hello world\nU2 foo bar baz\nU3 quux\n"
+    )
+
+    dst = tmp_path / "out"
+    n = prepare_kaldi_dir(str(src), str(dst), name="data.lst", n_process=2)
+    assert n == 3
+
+    samples = read_list_file(str(dst / "data.lst"))
+    assert [s.sample_id for s in samples] == ["U1", "U2", "U3"]
+    assert samples[0].transcript == "hello world"
+    assert abs(samples[1].duration_ms - 1250.0) < 0.01
+    # segment lengths match [start, end) at the source sample rate
+    sr1, seg = load_audio_with_sr(samples[0].audio_path)
+    assert sr1 == sr and len(seg) == sr  # 1.0 s
+    # the remixed (channel-1) source produced the mono segment
+    sr3, seg3 = load_audio_with_sr(samples[2].audio_path)
+    assert len(seg3) == sr
+    ref = mono[sr:2 * sr]
+    assert np.max(np.abs(seg3 - ref)) < 2e-4

@@ -36,6 +36,34 @@ from .meters import DatasetMeters
 from .test import Evaluator
 
 
+def _native_required() -> bool:
+    """W2L_REQUIRE_NATIVE=1 -> a native-core build/load failure raises
+    instead of silently decoding ~100x slower on the Python beam. The decode
+    CLI defaults it ON (reference parity: fl_asr_decode links its decoder
+    library at build time — a missing lib fails the build, it never silently
+    degrades)."""
+    return os.environ.get("W2L_REQUIRE_NATIVE", "0") == "1"
+
+
+def _native_failed(exc: BaseException, what: str = "beam decoder"):
+    """Handle a native-core failure: raise under W2L_REQUIRE_NATIVE=1, else
+    warn loudly (naming the exception) and let the caller fall back."""
+    import warnings
+
+    msg = (
+        f"native {what} unavailable ({type(exc).__name__}: {exc}); "
+        "falling back to the ~100x-slower Python beam. Set "
+        "W2L_REQUIRE_NATIVE=1 to make this an error."
+    )
+    if _native_required():
+        raise RuntimeError(
+            f"native {what} unavailable ({type(exc).__name__}: {exc}) and "
+            "W2L_REQUIRE_NATIVE=1 — refusing the ~100x-slower Python beam "
+            "fallback. Set W2L_REQUIRE_NATIVE=0 to allow it."
+        ) from exc
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def make_decode_lm(cfg, usr_vocab):
     """LM selection per ``--lmtype`` (reference Decode.cpp:242-277):
     ``kenlm`` (default; ARPA or binary n-gram) or ``convlm`` (neural GCNN LM
@@ -81,8 +109,8 @@ def build_decoder(cfg, token_dict, lexicon, transitions=None, use_native=True):
                 cfg, opts, token_dict, lexicon, word_dict, transitions,
                 sil, blank, n_tokens, use_lexicon, word_level_lm,
             )
-        except Exception:
-            pass  # fall back to the Python implementation
+        except Exception as e:
+            _native_failed(e)  # raises under W2L_REQUIRE_NATIVE=1
 
     vocab = (
         (word_dict.entries() if word_dict else None)
@@ -324,8 +352,11 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                 )
 
                 s2s_native = native_available()
-            except Exception:
+                if not s2s_native:
+                    raise RuntimeError("native core failed to build/load")
+            except Exception as e:
                 s2s_native = False
+                _native_failed(e, what="s2s beam decoder")
             if s2s_native:
                 if ecfg.lmtype == "convlm" and ecfg.lm:
                     s2s_lm = NativeExternalLM(make_decode_lm(ecfg, s2s_vocab))

@@ -637,3 +637,195 @@ def lexicon_from_lst(
                 f.write(f"{w} {' '.join(list(w))} {eow_token} \n")
                 n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Kaldi data directory -> list file (data/utils/kaldi_to_listfile.py)
+# ---------------------------------------------------------------------------
+
+_SOX_REMIX_RE = None
+
+
+def _resolve_wav_scp_entry(wav_handle: str, tmp_dir: str) -> Tuple[str, Optional[tuple]]:
+    """One wav.scp RHS -> (wav_path, pending_command).
+
+    Two cases, as in the reference (kaldi_to_listfile.py:66-87): a plain
+    audio path, or a sox pipe script ("sox in.wav -t wav - remix 1 |").
+    Pipe scripts resolve to a deterministic temp wav; the actual
+    materialization happens in ``prepare_kaldi_dir`` (sox binary when
+    present, else a native parse of the common trim/remix pipelines)."""
+    import re
+
+    wav_handle = wav_handle.strip()
+    if not wav_handle.startswith("sox"):
+        return wav_handle, None
+    hsh = re.sub("[^0-9a-zA-Z]+", "", wav_handle)
+    out = os.path.join(tmp_dir, f"{hsh}.wav")
+    return out, (wav_handle, out)
+
+
+def _materialize_sox_native(script: str, out: str):
+    """Execute the common kaldi wav.scp sox pipelines without sox:
+    ``sox IN -t wav - [remix K] [trim S D] |``. Raises on anything else."""
+    import re
+
+    import numpy as np
+
+    toks = script.rstrip("|").split()
+    assert toks[0] == "sox"
+    toks = toks[1:]
+    # strip the output spec "-t wav -"
+    src = None
+    ops: List[List[str]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "-t":
+            i += 2
+            continue
+        if t == "-":
+            i += 1
+            continue
+        if t in ("remix", "trim"):
+            op = [t]
+            i += 1
+            while i < len(toks) and re.fullmatch(r"[-0-9.:]+", toks[i]):
+                op.append(toks[i])
+                i += 1
+            ops.append(op)
+            continue
+        if src is None and not t.startswith("-"):
+            src = t
+            i += 1
+            continue
+        raise ValueError(f"unsupported sox script (install sox): {script!r}")
+    if src is None:
+        raise ValueError(f"no input file in sox script: {script!r}")
+    # read channels-preserved (load_audio_with_sr downmixes, which would
+    # break remix channel selection)
+    if src.lower().endswith(".wav"):
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(src)
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        else:
+            data = data.astype(np.float32)
+    else:
+        from ..data.audio import load_audio_with_sr
+
+        sr, data = load_audio_with_sr(src)
+    for op in ops:
+        if op[0] == "remix":
+            # channel select/mix; mono data ignores it
+            if data.ndim > 1:
+                chans = [int(c) - 1 for c in op[1:]]
+                data = data[:, chans].mean(axis=1)
+        elif op[0] == "trim":
+            start = float(op[1])
+            data = data[int(start * sr):]
+            if len(op) > 2:
+                dur = float(op[2])
+                data = data[: int(dur * sr)]
+    from scipy.io import wavfile
+
+    wavfile.write(out, sr, (np.clip(data, -1, 1) * 32767.0).astype(np.int16))
+
+
+def prepare_kaldi_dir(src: str, dst: str, name: str = "data.lst",
+                      n_process: int = 8) -> int:
+    """Package a kaldi data directory (``text`` + ``segments`` + ``wav.scp``)
+    into segmented audio + a w2l list file — the
+    ``data/utils/kaldi_to_listfile.py`` counterpart.
+
+    Differences from the reference (sox-free, TPU-host friendly): segments
+    are cut natively from the decoded source audio and written as 16-bit
+    WAV (the reference shells out to sox per segment and emits FLAC —
+    thousands of process spawns); sox pipe scripts in ``wav.scp`` use the
+    sox binary when installed, else a native parse of trim/remix pipelines.
+    List-file rows are ``uid path duration_ms transcript`` exactly like the
+    reference (duration printed with 2 decimals, ms).
+
+    Returns the number of list rows written."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from ..data.audio import load_audio_with_sr
+
+    os.makedirs(dst, exist_ok=True)
+    audio_dir = os.path.join(dst, "audio")
+    os.makedirs(audio_dir, exist_ok=True)
+    tmp_dir = os.path.join(dst, "_scp_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    wav_files: Dict[str, str] = {}
+    pending: Dict[str, tuple] = {}
+    with open(os.path.join(src, "wav.scp")) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            wid, handle = line.strip().split(" ", 1)
+            path, cmd = _resolve_wav_scp_entry(handle, tmp_dir)
+            wav_files[wid] = path
+            if cmd and cmd[1] not in pending:
+                pending[cmd[1]] = cmd
+
+    have_sox = shutil.which("sox") is not None
+    for script, out in pending.values():
+        if os.path.exists(out):
+            continue
+        if have_sox:
+            import subprocess
+
+            cmd = script.rstrip().rstrip("|").replace(" - ", f" {out} ", 1)
+            subprocess.run(cmd, shell=True, check=True)
+        else:
+            _materialize_sox_native(script, out)
+
+    transcripts: Dict[str, str] = {}
+    with open(os.path.join(src, "text")) as f:
+        for line in f:
+            parts = line.strip().split()
+            if parts:
+                transcripts[parts[0]] = " ".join(parts[1:])
+
+    segments: List[tuple] = []
+    with open(os.path.join(src, "segments")) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            uid, wid, s, e = line.strip().split(" ", 3)
+            segments.append((uid, wav_files[wid], float(s), float(e)))
+
+    # cut segments grouped by source file: decode each source ONCE, slice
+    # all its segments from memory (the reference re-opens the source per
+    # segment via a sox process)
+    by_src: Dict[str, List[tuple]] = {}
+    for uid, path, s, e in segments:
+        by_src.setdefault(path, []).append((uid, s, e))
+
+    def cut_one_source(path):
+        sr, data = load_audio_with_sr(path)
+        pcm = (np.clip(data, -1, 1) * 32767.0).astype(np.int16)
+        for uid, s, e in by_src[path]:
+            wavfile.write(
+                os.path.join(audio_dir, f"{uid}.wav"), sr,
+                pcm[int(s * sr): int(e * sr)],
+            )
+
+    with ThreadPoolExecutor(max_workers=max(1, n_process)) as ex:
+        list(ex.map(cut_one_source, by_src))
+
+    n = 0
+    with open(os.path.join(dst, name), "w") as fo:
+        for uid, _, s, e in segments:
+            dur_ms = f"{(e - s) * 1000:.2f}"
+            out = os.path.join(audio_dir, f"{uid}.wav")
+            fo.write("\t".join([uid, out, dur_ms, transcripts[uid]]) + "\n")
+            n += 1
+    return n
