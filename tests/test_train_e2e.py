@@ -101,3 +101,31 @@ def test_asg_train_runs(synth, tmp_path):
     tr = Trainer(cfg)
     tr.run()
     assert tr.updates == 20
+
+
+def test_bare_continue_preserves_stored_flags(synth, tmp_path):
+    """`train continue --rundir=X --runname=Y` (no other flags) must resume
+    with the checkpoint's full flag set — process DEFAULTS must not clobber
+    stored values; only explicitly re-passed flags override (reference
+    gflags re-injection precedence)."""
+    lst, tokens, lexicon = synth
+    arch = str(tmp_path / "tiny.arch")
+    _write_arch(arch)
+    cfg = make_cfg(lst, tokens, lexicon, str(tmp_path), arch=arch,
+                   iter=20, lr=0.123, filterbanks=40)
+    from wav2letter_tpu.runtime.train import Trainer
+
+    Trainer(cfg).run()
+
+    # bare continue: only rundir/runname (+ a single explicit override)
+    ccfg = Config.from_sources(
+        argv=[f"--rundir={tmp_path}", "--runname=run", "--iter=30"]
+    )
+    tr2 = Trainer(ccfg, mode="continue")
+    assert tr2.cfg.lr == 0.123          # stored, not the 0.1 default
+    assert tr2.cfg.arch == arch          # stored path survives
+    assert tr2.cfg.criterion == "ctc"
+    assert tr2.cfg.iter == 30            # explicit override wins
+    assert tr2.updates == 20
+    tr2.run()
+    assert tr2.updates == 30

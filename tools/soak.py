@@ -1,0 +1,503 @@
+"""Round-4 convergence soak: train the flagship TDS+CTC to convergence on a
+20 h synthetic homophone corpus, exercise every training regime the
+reference exposes (warmup -> hold -> epoch-halving `--lr_decay`, checkpoint
+rotation, mid-run SIGKILL + `continue` resume), then run the ENTIRE product
+chain on the TRAINED model through the real CLI binaries:
+
+  viterbi Test WER  ->  lexicon beam (ZeroLM)  ->  beam + n-gram LM
+  ->  --lmweight sweep  ->  beam dump + rescoring/oracle
+  ->  convert_streaming  ->  chunked streaming WER == offline WER
+
+This is the reference's validation currency (every recipe README's
+train->test->decode WER table, e.g.
+``recipes/streaming_convnets/librispeech/README.md:99-123``) rehearsed end
+to end on real hardware. Also settles VERDICT r3 weak #4: the same task is
+trained at B=32 (recipe-class) and B=128 (bench sweet spot) with linearly
+scaled LR and compared on final dev/test WER.
+
+The corpus (wav2letter_tpu/tools/synth_corpus.py) plants acoustically
+IDENTICAL homophone word pairs resolvable only from language-model context,
+so "beam+LM beats viterbi" is a structural requirement, not luck.
+
+Usage:  python tools/soak.py [--phase all|corpus|lm|b128|b32|product|report]
+        [--root _local/soak] [--fast]  (--fast: tiny sizes, CPU smoke test)
+
+Results accumulate in <root>/RESULTS.json; each phase is resumable and
+skipped when its marker exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PY = sys.executable
+
+
+def log(msg):
+    print(f"[soak +{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+class Soak:
+    def __init__(self, root: str, fast: bool = False):
+        self.root = os.path.abspath(root)
+        self.fast = fast
+        self.corpus = os.path.join(
+            REPO, "_local", "corpora", "soak_fast" if fast else "soak20h")
+        os.makedirs(self.root, exist_ok=True)
+        self.results_path = os.path.join(self.root, "RESULTS.json")
+        self.results = {}
+        if os.path.exists(self.results_path):
+            self.results = json.load(open(self.results_path))
+
+    def save(self):
+        json.dump(self.results, open(self.results_path, "w"), indent=1)
+
+    def done(self, phase):
+        return os.path.exists(os.path.join(self.root, f".done_{phase}"))
+
+    def mark(self, phase):
+        open(os.path.join(self.root, f".done_{phase}"), "w").write(str(time.time()))
+        self.save()
+
+    # ------------------------------------------------------------------
+    def phase_corpus(self):
+        if self.done("corpus"):
+            return
+        from wav2letter_tpu.tools.synth_corpus import generate
+
+        kw = dict(train_hours=20.0, dev_minutes=30.0, test_minutes=30.0,
+                  n_words=1000, n_homophone_pairs=100, lm_sentences=50000)
+        if self.fast:
+            kw = dict(train_hours=0.05, dev_minutes=1.0, test_minutes=1.0,
+                      n_words=150, n_homophone_pairs=15, lm_sentences=2000)
+        log(f"corpus: generating under {self.corpus} ({kw})")
+        self.paths = generate(self.corpus, **kw)
+        meta = json.load(open(self.paths["meta"]))
+        self.results["corpus"] = {k: meta[k] for k in
+                                  ("train_hours", "vocab_size", "n_pairs")}
+        self.mark("corpus")
+
+    @property
+    def paths(self):
+        if not hasattr(self, "_paths"):
+            self._paths = {
+                k: os.path.join(self.corpus, v) for k, v in [
+                    ("train", "train.lst"), ("dev", "dev.lst"),
+                    ("test", "test.lst"), ("tokens", "tokens.txt"),
+                    ("lexicon", "lexicon.txt"), ("lm_corpus", "lm_corpus.txt"),
+                    ("meta", "meta.json")]
+            }
+        return self._paths
+
+    @paths.setter
+    def paths(self, v):
+        self._paths = v
+
+    # ------------------------------------------------------------------
+    def phase_lm(self):
+        if self.done("lm"):
+            return
+        from wav2letter_tpu.tools.ngram_lm import build_binary, train_ngram_lm
+
+        arpa = os.path.join(self.root, "lm3.arpa")
+        log("lm: training 3-gram Kneser-Ney on lm_corpus.txt")
+        t0 = time.time()
+        train_ngram_lm(self.paths["lm_corpus"], arpa, order=3)
+        log(f"lm: arpa in {time.time()-t0:.0f}s -> binary")
+        lm_bin = build_binary(arpa, os.path.join(self.root, "lm3.bin"))
+        self.results["lm"] = {
+            "arpa_mb": round(os.path.getsize(arpa) / 1e6, 2),
+            "bin_mb": round(os.path.getsize(lm_bin) / 1e6, 2),
+            "train_s": round(time.time() - t0, 1),
+        }
+        self.mark("lm")
+
+    # ------------------------------------------------------------------
+    def _train_flags(self, runname, batch, lr, iters, report):
+        arch = ("/root/reference/recipes/streaming_convnets/librispeech/"
+                "am_500ms_future_context.arch")
+        if self.fast:
+            # tiny but STREAMABLE (C2/TDS/LN only, converter-compatible)
+            arch = os.path.join(self.root, "fast.arch")
+            with open(arch, "w") as f:
+                f.write(
+                    "V -1 NFEAT 1 0\nPD 0 3 2\nC2 1 8 6 1 2 1 0 0\nR\n"
+                    "LN 1 2\nTDS 8 5 NFEAT 0.0 0 1 0\nTDS 8 5 NFEAT 0.0 0 1 0\n"
+                    "RO 2 1 0 3\nV 320 -1 1 0\nL 320 NLABEL\nV NLABEL 0 -1 1\n"
+                )
+        flags = [
+            f"--train={self.paths['train']}",
+            f"--valid=dev:{self.paths['dev']}",
+            f"--tokens={self.paths['tokens']}",
+            f"--lexicon={self.paths['lexicon']}",
+            f"--rundir={self.root}", f"--runname={runname}",
+            f"--arch={arch}",
+            "--criterion=ctc", "--mfsc=true", "--filterbanks=80",
+            f"--batchsize={batch}", f"--lr={lr}", "--momentum=0.0",
+            "--netoptim=sgd", "--maxgradnorm=0.5", "--onorm=target",
+            "--sqnorm=true", "--nthread=4",
+            f"--iter={iters}", f"--reportiters={report}",
+            "--warmup=300", "--pcttraineval=1",
+            # epoch-based halving kicks in for the final third of the run
+            # (reference --lr_decay regime, streaming_convnets train cfg)
+            "--lr_decay=60", "--lr_decay_step=20",
+            "--compute_dtype=bfloat16", "--seed=11",
+        ]
+        if self.fast:
+            flags += ["--filterbanks=40", "--warmup=10", "--lr_decay=0",
+                      "--compute_dtype=float32", "--pad_multiple=64"]
+        return flags
+
+    def _spawn_train(self, mode_args, logf):
+        env = dict(os.environ)
+        if self.fast:
+            env["JAX_PLATFORMS"] = "cpu"
+        return subprocess.Popen(
+            [PY, os.path.join(REPO, "cli", "train.py"), *mode_args],
+            stdout=open(logf, "ab"), stderr=subprocess.STDOUT,
+            env=env, start_new_session=True,
+        )
+
+    @staticmethod
+    def _last_update(rundir_log):
+        """Parse the biggest `nupdates:` seen across run logs."""
+        best = 0
+        for p in rundir_log:
+            if not os.path.exists(p):
+                continue
+            for line in open(p, errors="replace"):
+                m = re.search(r"nupdates:\s*(\d+)", line)
+                if m:
+                    best = max(best, int(m.group(1)))
+        return best
+
+    def _train_regime(self, name, batch, lr, iters, report, kill_at=None):
+        if self.done(f"train_{name}"):
+            return
+        rundir = os.path.join(self.root, name)
+        logf = os.path.join(self.root, f"{name}.console")
+        flags = self._train_flags(name, batch, lr, iters, report)
+        t0 = time.time()
+        if kill_at:
+            log(f"train[{name}]: start (will SIGKILL at ~{kill_at} updates "
+                "and resume with `continue`)")
+            p = self._spawn_train(["train", *flags], logf)
+            logs = [os.path.join(rundir, f"{i:03d}_log") for i in (1, 2, 3)]
+            killed = False
+            while p.poll() is None:
+                time.sleep(5 if not self.fast else 1)
+                if self._last_update(logs) >= kill_at:
+                    os.killpg(p.pid, signal.SIGKILL)
+                    killed = True
+                    log(f"train[{name}]: SIGKILLed at >= {kill_at} updates")
+                    break
+            p.wait()
+            if not killed and p.returncode != 0:
+                raise RuntimeError(f"train[{name}] died before kill point; "
+                                   f"see {logf}")
+            # resume: bare continue — stored flags must carry everything
+            log(f"train[{name}]: continue")
+            p = self._spawn_train(
+                ["continue", f"--rundir={self.root}", f"--runname={name}"],
+                logf)
+            rc = p.wait()
+            if rc != 0:
+                raise RuntimeError(f"train[{name}] continue failed; see {logf}")
+        else:
+            log(f"train[{name}]: start")
+            p = self._spawn_train(["train", *flags], logf)
+            rc = p.wait()
+            if rc != 0:
+                raise RuntimeError(f"train[{name}] failed; see {logf}")
+        wall = time.time() - t0
+        traj = self._trajectory(rundir)
+        ckpts = sorted(
+            f for f in os.listdir(rundir) if f.startswith("model_"))
+        self.results[f"train_{name}"] = {
+            "batch": batch, "lr": lr, "iters": iters,
+            "wall_s": round(wall, 1), "killed_and_resumed": bool(kill_at),
+            "checkpoints": len(ckpts),
+            "trajectory": traj,
+            "final_dev_wer": traj[-1]["dev_wer"] if traj else None,
+        }
+        self.mark(f"train_{name}")
+
+    @staticmethod
+    def _trajectory(rundir):
+        rows = []
+        for i in (1, 2, 3):
+            p = os.path.join(rundir, f"{i:03d}_log")
+            if not os.path.exists(p):
+                continue
+            for line in open(p, errors="replace"):
+                mu = re.search(r"nupdates:\s*(\d+)", line)
+                ml = re.search(r"loss:\s*([0-9.]+)", line)
+                mw = re.search(r"dev-WER:\s*([0-9.]+)", line)
+                mlr = re.search(r"lr:\s*([0-9.]+)", line)
+                if mu and ml:
+                    rows.append({
+                        "updates": int(mu.group(1)),
+                        "loss": float(ml.group(1)),
+                        "lr": float(mlr.group(1)) if mlr else None,
+                        "dev_wer": float(mw.group(1)) if mw else None,
+                        "run": i,
+                    })
+        return rows
+
+    def phase_b128(self):
+        b, iters = (8, 30) if self.fast else (128, 6000)
+        self._train_regime("b128", b, 0.8 if not self.fast else 0.4,
+                           iters, iters // (3 if self.fast else 12), kill_at=iters // 3)
+
+    def phase_b32(self):
+        b, iters = (4, 40) if self.fast else (32, 24000)
+        self._train_regime("b32", b, 0.2 if not self.fast else 0.4,
+                           iters, iters // (2 if self.fast else 12))
+
+    # ------------------------------------------------------------------
+    def _run_cli(self, script, flags, tag, timeout=7200):
+        logf = os.path.join(self.root, f"{tag}.console")
+        env = dict(os.environ)
+        if self.fast:
+            env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [PY, os.path.join(REPO, "cli", script), *flags],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        with open(logf, "a") as f:
+            f.write(out.stdout + out.stderr)
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"{script} {tag} rc={out.returncode}: {out.stderr[-2000:]}")
+        return out.stdout
+
+    @staticmethod
+    def _parse_wer(text):
+        ms = re.findall(r"WER:\s*([0-9.]+)%", text)
+        return float(ms[-1]) if ms else None
+
+    def phase_product(self):
+        if self.done("product"):
+            return
+        am = os.path.join(self.root, "b128", "model_last.bin")
+        lm = os.path.join(self.root, "lm3.arpa")
+        test, dev = self.paths["test"], self.paths["dev"]
+        lex = self.paths["lexicon"]
+        prod = {}
+
+        # 1. viterbi Test WER (cli/test)
+        log("product: viterbi test")
+        out = self._run_cli("test.py", [f"--am={am}", f"--test={test}",
+                                        "--nthread=2"], "viterbi")
+        prod["viterbi_test_wer"] = self._parse_wer(out)
+
+        common = [f"--am={am}", f"--lexicon={lex}", "--uselexicon=true",
+                  "--beamsize=50", "--beamthreshold=100", "--smearing=max",
+                  "--nthread_decoder=4", "--nthread=2", "--decodertype=wrd"]
+
+        # 2. lexicon beam, no LM
+        log("product: lexicon beam (ZeroLM)")
+        out = self._run_cli("decode.py", [*common, f"--test={test}"], "zerolm")
+        prod["beam_nolm_test_wer"] = self._parse_wer(out)
+
+        # 3. lmweight sweep on DEV (emission cache reused across weights)
+        log("product: lmweight sweep on dev")
+        emdir = os.path.join(self.root, "em_dev")
+        out = self._run_cli("decode.py", [
+            *common, f"--test={dev}", f"--lm={lm}",
+            "--lmweight_low=0.0", "--lmweight_high=3.0", "--lmweight_step=0.5",
+            "--wordscore=0.5", f"--emission_dir={emdir}"], "sweep")
+        sweep = {}
+        wers = re.findall(r"\[Decode .*?\] WER: ([0-9.]+)%", out)
+        lo, step = 0.0, 0.5
+        for i, w in enumerate(wers):
+            sweep[round(lo + i * step, 2)] = float(w)
+        mb = re.search(r"best lmweight=([0-9.]+) WER=([0-9.]+)%", out)
+        best_w = float(mb.group(1)) if mb else 1.0
+        prod["lmweight_sweep_dev"] = sweep
+        prod["best_lmweight"] = best_w
+
+        # 4. beam+LM on TEST at the dev-optimal weight
+        log(f"product: beam+LM on test at lmweight={best_w}")
+        out = self._run_cli("decode.py", [
+            *common, f"--test={test}", f"--lm={lm}",
+            f"--lmweight={best_w}", "--wordscore=0.5"], "beamlm")
+        prod["beam_lm_test_wer"] = self._parse_wer(out)
+
+        # 5. beam dump + rescoring grid + oracle WER on dev
+        log("product: beam dump + rescore")
+        sclite = os.path.join(self.root, "sclite")
+        out = self._run_cli("decode.py", [
+            *common, f"--test={dev}", f"--lm={lm}",
+            f"--lmweight={best_w}", "--wordscore=0.5",
+            "--isbeamdump=true", f"--sclite={sclite}",
+            f"--emission_dir={emdir}"], "beamdump")
+        prod["rescore"] = self._rescore(sclite, dev, lm)
+
+        # 6. streaming: convert + chunked decode == offline
+        log("product: convert + streaming WER")
+        prod["streaming"] = self._streaming_eval(am, best_w)
+
+        self.results["product"] = prod
+        self.mark("product")
+
+    def _rescore(self, sclite_dir, dev_lst, lm):
+        from wav2letter_tpu.decoder.lm import ArpaLM
+        from wav2letter_tpu.ops.editdistance import edit_distance
+        from wav2letter_tpu.tools.rescore import (
+            grid_search_weights, load_beam_dump, oracle_wer, rescore_beams,
+        )
+
+        base = os.path.join(sclite_dir, os.path.basename(dev_lst))
+        beams = load_beam_dump(base + ".beams")
+        refs = {}
+        for line in open(dev_lst):
+            parts = line.split(None, 3)
+            refs[parts[0]] = parts[3].split() if len(parts) > 3 else []
+        o = oracle_wer(beams, refs)
+        lm_fn = ArpaLM(lm).score_sentence
+        w, grid_wer = grid_search_weights(beams, refs, lm_fn)
+        hyps = rescore_beams(beams, lm_fn, w)
+        errs = tot = 0
+        for sid, ref in refs.items():
+            errs += edit_distance(ref, hyps.get(sid, []))
+            tot += len(ref)
+        return {"oracle_wer": round(o, 2),
+                "rescored_wer": round(100.0 * errs / max(tot, 1), 2),
+                "grid_weights": list(w), "n_beams": len(beams)}
+
+    def _streaming_eval(self, am, lmweight, n_utts=100):
+        if self.fast:
+            n_utts = 8
+        """Convert the checkpoint, stream the first n test utterances in
+        500 ms chunks through the online beam, and compare WER with the
+        OFFLINE decode of the same utterances (must match: the converter
+        and carry-state protocol are exact)."""
+        from wav2letter_tpu.runtime.decode import run_decode  # noqa: F401 (env check)
+
+        bundle = os.path.join(self.root, "am.stream")
+        self._run_cli("convert_streaming.py",
+                      [f"--am={am}", f"--out={bundle}"], "convert")
+
+        import numpy as np
+
+        from wav2letter_tpu.data import read_list_file
+        from wav2letter_tpu.data.audio import load_audio
+        from wav2letter_tpu.data.dictionary import Dictionary, Lexicon, make_word_dict
+        from wav2letter_tpu.data.targets import tokens_to_words
+        from wav2letter_tpu.decoder import CriterionType, DecoderOptions
+        from wav2letter_tpu.decoder.native import (
+            NativeBeamDecoder, NativeLM, NativeTrie,
+        )
+        from wav2letter_tpu.inference import (
+            StreamingFeaturizer, load_streaming_bundle,
+        )
+        from wav2letter_tpu.ops.editdistance import edit_distance
+
+        net, featp, meta = load_streaming_bundle(bundle)
+        tok_dict = Dictionary([str(t) for t in meta["tokens"]])
+        n_tokens = len(tok_dict)
+        blank = n_tokens - 1
+        sil = tok_dict.get_index("|")
+        lexicon = Lexicon.from_file(self.paths["lexicon"])
+        word_dict = make_word_dict(lexicon)
+        lm = NativeLM(os.path.join(self.root, "lm3.arpa"),
+                      usr_vocab=word_dict.entries())
+        trie = NativeTrie(n_tokens)
+        for w, sps in lexicon.entries.items():
+            widx = word_dict.get_index(w)
+            for sp in sps:
+                ids = [tok_dict.get_index(t) for t in sp if tok_dict.contains(t)]
+                if ids:
+                    trie.insert(ids, widx, 0.0)
+        trie.smear("max")
+        opts = DecoderOptions(
+            beam_size=50, beam_threshold=100.0, lm_weight=lmweight,
+            word_score=0.5, criterion_type=CriterionType.CTC)
+        samples = read_list_file(self.paths["test"])[:n_utts]
+        errs = tot = 0
+        chunk = int(0.5 * 16000)
+        for s in samples:
+            audio = load_audio(s.audio_path, 16000)
+            dec = NativeBeamDecoder(
+                opts, trie, lm, sil, blank,
+                word_dict.get_index("<unk>") if word_dict.contains("<unk>")
+                else -1, n_tokens)
+            dec.decode_begin()
+            fstate = sf_state = None
+            sf = StreamingFeaturizer(featp)
+            fstate = sf.start()
+            states = net.start(1)
+            for off in range(0, len(audio), chunk):
+                fstate, feats = sf.run(fstate, audio[off:off + chunk])
+                if len(feats):
+                    states, y = net.run(states, feats[None, :, :, None])
+                    if y.shape[1]:
+                        dec.decode_step(np.asarray(y)[0, :, 0, :])
+                        dec.prune(0)
+            states, y = net.finish(states)
+            if y.shape[1]:
+                dec.decode_step(np.asarray(y)[0, :, 0, :])
+            dec.decode_end()
+            res = dec.get_results(1)[0]
+            hyp = [word_dict.get_entry(w) for w in res.words if w >= 0]
+            ref = s.transcript.split()
+            errs += edit_distance(ref, hyp)
+            tot += len(ref)
+        stream_wer = 100.0 * errs / max(tot, 1)
+
+        # offline comparison on the same subset via the decode CLI
+        sub = os.path.join(self.root, "test_sub.lst")
+        with open(sub, "w") as f:
+            for s in samples:
+                f.write(f"{s.sample_id} {s.audio_path} {s.duration_ms} "
+                        f"{s.transcript}\n")
+        out = self._run_cli("decode.py", [
+            f"--am={am}", f"--lexicon={self.paths['lexicon']}",
+            "--uselexicon=true", "--beamsize=50", "--beamthreshold=100",
+            "--smearing=max", "--nthread_decoder=4", "--decodertype=wrd",
+            f"--test={sub}", f"--lm={os.path.join(self.root, 'lm3.arpa')}",
+            f"--lmweight={lmweight}", "--wordscore=0.5"], "offline_sub")
+        return {"streaming_wer": round(stream_wer, 2),
+                "offline_wer": self._parse_wer(out),
+                "n_utts": len(samples)}
+
+    # ------------------------------------------------------------------
+    def phase_report(self):
+        r = self.results
+        lines = ["# Soak results", ""]
+        for k in ("corpus", "lm", "train_b128", "train_b32", "product"):
+            if k in r:
+                lines.append(f"## {k}\n```json\n"
+                             f"{json.dumps(r[k], indent=1)}\n```\n")
+        open(os.path.join(self.root, "SUMMARY.md"), "w").write("\n".join(lines))
+        log(f"report written: {self.root}/SUMMARY.md")
+        print(json.dumps(r.get("product", {}), indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all")
+    ap.add_argument("--root", default=os.path.join(REPO, "_local", "soak"))
+    ap.add_argument("--fast", action="store_true")
+    a = ap.parse_args()
+    s = Soak(a.root, fast=a.fast)
+    phases = (["corpus", "lm", "b128", "b32", "product", "report"]
+              if a.phase == "all" else [a.phase])
+    for p in phases:
+        getattr(s, f"phase_{p}")()
+        s.save()
+
+
+if __name__ == "__main__":
+    main()

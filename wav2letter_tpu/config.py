@@ -294,6 +294,12 @@ class Config:
 
     def __init__(self, **overrides: Any):
         self._values: Dict[str, Any] = {d.name: d.default for d in _DEFS}
+        # keys the caller actually SET (vs. defaults) — continue-mode flag
+        # re-injection must override stored checkpoint flags with only
+        # these, never with process defaults (reference gflags semantics:
+        # a re-run `fl_asr_train continue` keeps stored values unless the
+        # flag is explicitly re-passed)
+        self._explicit: set = set()
         self.update(overrides)
 
     # -- mutation ----------------------------------------------------------
@@ -304,7 +310,13 @@ class Config:
                 continue
             d = FLAG_DEFS[k]
             self._values[k] = _coerce(d, v)
+            self._explicit.add(k)
         return self
+
+    def explicit_dict(self) -> Dict[str, Any]:
+        """Only the flags explicitly set on this Config (CLI/flagsfile/
+        programmatic update), excluding untouched defaults."""
+        return {k: self._values[k] for k in self._explicit if k in self._values}
 
     def _canonical(self, k: str) -> Optional[str]:
         if k in FLAG_DEFS:

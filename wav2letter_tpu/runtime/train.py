@@ -78,9 +78,13 @@ class Trainer:
             if last:
                 resume_ckpt = load_checkpoint(last)
                 stored = Config.deserialize(resume_ckpt.config)
-                # precedence: stored flags < current cfg (CLI/flagsfile)
+                # precedence: stored flags < EXPLICITLY re-passed flags.
+                # Only flags the user actually set this run override the
+                # checkpoint — process defaults must not clobber the stored
+                # training config (`fl_asr_train continue` gflags parity;
+                # a bare `continue --rundir=X` resumes with X's full flags).
                 merged = stored.asdict()
-                merged.update({k: v for k, v in cfg.asdict().items()})
+                merged.update(cfg.explicit_dict())
                 self.cfg = cfg = Config(**{})
                 cfg.update(merged)
                 self.epoch = resume_ckpt.epoch
