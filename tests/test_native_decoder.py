@@ -428,3 +428,29 @@ def test_real_kenlm_fixture():
 
     problems = verify_fixture(fixture)
     assert not problems, "\n".join(problems)
+
+
+def test_binary_lms_are_mmapped(tmp_path):
+    """KenLM-format containers load via mmap (O(1) startup, demand paging —
+    the format's design; reference mmaps its 3GB LMs), never a whole-file
+    heap slurp; ARPA text parses to an in-memory model. Scores must be
+    identical across all three backings."""
+    from wav2letter_tpu.decoder.native import NativeLM
+    from wav2letter_tpu.tools.ngram_lm import (
+        build_binary, build_trie_binary, train_ngram_lm,
+    )
+
+    c = tmp_path / "c.txt"
+    c.write_text("a b c\nb c a\na c b\nc a b\n" * 50)
+    arpa = str(tmp_path / "lm.arpa")
+    train_ngram_lm(str(c), arpa, order=3)
+    bin_p = build_binary(arpa, str(tmp_path / "lm.bin"))
+    qt_p = build_trie_binary(arpa, str(tmp_path / "lm.qt"))
+
+    scores = {}
+    for p, want in [(arpa, -1), (bin_p, 1), (qt_p, 1)]:
+        lm = NativeLM(p, usr_vocab=["a", "b", "c"])
+        assert lm.used_mmap == want, p
+        scores[p] = lm.score_sentence_ids([0, 1, 2])
+    assert abs(scores[arpa] - scores[bin_p]) < 1e-3  # f32 round-trip
+    assert abs(scores[arpa] - scores[qt_p]) < 0.2  # 8-bit quantized

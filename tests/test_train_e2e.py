@@ -129,3 +129,22 @@ def test_bare_continue_preserves_stored_flags(synth, tmp_path):
     assert tr2.updates == 20
     tr2.run()
     assert tr2.updates == 30
+
+
+def test_features_device_equivalence(synth, tmp_path):
+    """--features_device=host (reference W2lDataset placement: featurize in
+    prefetch threads, ship features) must train identically to the fused
+    on-device path (same Featurizer function, different placement)."""
+    lst, tokens, lexicon = synth
+    arch = str(tmp_path / "tiny.arch")
+    _write_arch(arch)
+    losses = {}
+    from wav2letter_tpu.runtime.train import Trainer
+
+    for mode in ("host", "tpu"):
+        cfg = make_cfg(lst, tokens, lexicon, str(tmp_path / mode), arch=arch,
+                       iter=30, lr=0.3, features_device=mode)
+        tr = Trainer(cfg)
+        tr.run()
+        losses[mode] = tr.meters.train.loss.value()
+    assert abs(losses["host"] - losses["tpu"]) < 1e-3, losses

@@ -152,6 +152,9 @@ class Soak:
             # (reference --lr_decay regime, streaming_convnets train cfg)
             "--lr_decay=60", "--lr_decay_step=20",
             "--compute_dtype=bfloat16", "--seed=11",
+            # coarse buckets: each distinct padded shape costs a full remote
+            # XLA compile of the train step (~2.5 min on the tunneled chip)
+            "--pad_multiple=256",
         ]
         if self.fast:
             flags += ["--filterbanks=40", "--warmup=10", "--lr_decay=0",
@@ -255,12 +258,12 @@ class Soak:
         return rows
 
     def phase_b128(self):
-        b, iters = (8, 30) if self.fast else (128, 6000)
+        b, iters = (8, 30) if self.fast else (128, 5000)
         self._train_regime("b128", b, 0.8 if not self.fast else 0.4,
                            iters, iters // (3 if self.fast else 12), kill_at=iters // 3)
 
     def phase_b32(self):
-        b, iters = (4, 40) if self.fast else (32, 24000)
+        b, iters = (4, 40) if self.fast else (32, 20000)
         self._train_regime("b32", b, 0.2 if not self.fast else 0.4,
                            iters, iters // (2 if self.fast else 12))
 

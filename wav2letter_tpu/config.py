@@ -75,6 +75,10 @@ _DEFS: List[FlagDef] = [
     _f("max_load", int, -1, "max samples to load per list (-1 = all)"),
     _f("sfx_config", str, "", "JSON sound-effect chain config path"),
     _f("pad_multiple", int, 128, "TPU: pad batch time dim to a multiple (static shapes)"),
+    _f("features_device", str, "host",
+       "'host': featurize in the data threads and ship bf16 features "
+       "(reference W2lDataset placement; ~4x less accelerator-bound traffic)"
+       " | 'tpu': fuse MFSC into the jitted train step"),
     # --- features ---
     _f("mfsc", bool, False),
     _f("mfcc", bool, False),

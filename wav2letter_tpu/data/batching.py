@@ -204,7 +204,7 @@ def pad_batch_rows(batch: dict, multiple: int) -> dict:
     step masks their losses out and meters skip them. Required because pjit
     shards the leading axis over the data mesh axis (must divide evenly).
     """
-    b = batch["audio"].shape[0]
+    b = next(iter(batch.values())).shape[0]
     target = round_up(b, multiple)
     if target == b:
         out = dict(batch)

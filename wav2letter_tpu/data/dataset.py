@@ -140,6 +140,13 @@ class AsrDataset:
         """Padded sample count such that featurizing yields >= n_frames frames."""
         return (n_frames - 1) * self.stride_samples + self.frame_samples
 
+    def set_host_featurizer(self, featurizer) -> None:
+        """Featurize in the prefetch threads (reference W2lDataset
+        placement): ``materialize`` then ships (B, T, C) features instead of
+        raw audio — see ``features.HostFeaturizer``. ``audio_len`` is kept
+        for the speed meters."""
+        self.host_featurizer = featurizer
+
     def materialize(self, spec: BatchSpec) -> Dict[str, np.ndarray]:
         # pad_rows: multi-process lockstep — every rank materializes the same
         # local row count (rows beyond the index list are padding rows with
@@ -161,17 +168,29 @@ class AsrDataset:
             t = self.targets[idx][: spec.max_target_len]
             tgt[i, : len(t)] = t
             tgt_len[i] = len(t)
+        sample_idx = np.concatenate(
+            [
+                np.asarray(spec.indices, dtype=np.int64),
+                np.full((b - len(spec.indices),), -1, np.int64),
+            ]
+        )
+        hf = getattr(self, "host_featurizer", None)
+        if hf is not None:
+            feats, flen = hf(audio, audio_len)
+            return {
+                "feats": feats,
+                "feat_len": flen.astype(np.int32),
+                "audio_len": audio_len,
+                "target": tgt,
+                "target_len": tgt_len,
+                "sample_idx": sample_idx,
+            }
         return {
             "audio": audio,
             "audio_len": audio_len,
             "target": tgt,
             "target_len": tgt_len,
-            "sample_idx": np.concatenate(
-                [
-                    np.asarray(spec.indices, dtype=np.int64),
-                    np.full((b - len(spec.indices),), -1, np.int64),
-                ]
-            ),
+            "sample_idx": sample_idx,
         }
 
 

@@ -32,6 +32,12 @@ class NativeLM:
             )
             self.usr_map[self.usr_map < 0] = unk
 
+    @property
+    def used_mmap(self) -> int:
+        """1 = file-backed mmap (binary containers), 0 = heap copy
+        (mmap fallback), -1 = in-memory model (ARPA text)."""
+        return int(self.lib.w2l_lm_used_mmap(self.ptr))
+
     def score_sentence_ids(self, ids: Sequence[int]) -> float:
         arr = np.asarray(ids, np.int32)
         return float(

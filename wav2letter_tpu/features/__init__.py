@@ -1,6 +1,7 @@
 from .frontend import (
     FeatureParams,
     Featurizer,
+    HostFeaturizer,
     n_fft_for,
     mel_filterbank,
     num_frames,
@@ -14,4 +15,5 @@ __all__ = [
     "mel_filterbank",
     "num_frames",
     "SpecAugment",
+    "HostFeaturizer",
 ]

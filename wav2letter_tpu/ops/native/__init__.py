@@ -52,6 +52,8 @@ def decoder_lib() -> ctypes.CDLL:
     lib.w2l_lm_unk_id.argtypes = [c.c_void_p]
     lib.w2l_lm_score_seq.restype = c.c_float
     lib.w2l_lm_score_seq.argtypes = [c.c_void_p, c.POINTER(c.c_int32), c.c_int]
+    lib.w2l_lm_used_mmap.restype = c.c_int
+    lib.w2l_lm_used_mmap.argtypes = [c.c_void_p]
     lib.w2l_lm_build_binary.restype = c.c_int
     lib.w2l_lm_build_binary.argtypes = [c.c_char_p, c.c_char_p, c.c_float]
     lib.w2l_lm_build_trie.restype = c.c_int

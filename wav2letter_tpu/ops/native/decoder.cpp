@@ -24,7 +24,86 @@
 #include <unordered_map>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
+
+// ---------------------------------------------------------------------------
+// Read-only file mapping. KenLM binaries are DESIGNED for mmap (the magic
+// string literally reads "mmap lm ..."); the reference loads its 3 GB
+// 4-gram this way — O(1) startup, pages fault in on demand, clean pages
+// evictable under memory pressure. `slack` extra zero bytes are guaranteed
+// readable past EOF (the .qt bit-packed reader loads up to 8 bytes beyond
+// the last record): an anonymous zero mapping is reserved first and the
+// file is mapped MAP_FIXED over its prefix, so the tail stays zero-filled.
+// Falls back to a heap read if mmap is unavailable.
+// ---------------------------------------------------------------------------
+struct MappedFile {
+  const char* base = nullptr;
+  size_t size = 0;          // file bytes
+  size_t map_len = 0;       // mapped bytes (0 => heap fallback)
+  std::vector<char> heap;   // fallback storage
+  bool used_mmap = false;
+
+  MappedFile() = default;
+  MappedFile(const MappedFile&) = delete;
+  MappedFile& operator=(const MappedFile&) = delete;
+  ~MappedFile() { reset(); }
+
+  void reset() {
+    if (base && map_len) munmap(const_cast<char*>(base), map_len);
+    base = nullptr;
+    map_len = 0;
+    size = 0;
+    heap.clear();
+    used_mmap = false;
+  }
+
+  bool open(const std::string& path, size_t slack = 8) {
+    reset();
+    int fd = ::open(path.c_str(), O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+      ::close(fd);
+      return false;
+    }
+    size = (size_t)st.st_size;
+    size_t page = (size_t)sysconf(_SC_PAGESIZE);
+    map_len = ((size + slack + page - 1) / page) * page;
+    void* anon = mmap(nullptr, map_len, PROT_READ,
+                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (anon != MAP_FAILED) {
+      void* m = mmap(anon, size, PROT_READ, MAP_PRIVATE | MAP_FIXED, fd, 0);
+      if (m != MAP_FAILED) {
+        base = (const char*)anon;
+        used_mmap = true;
+        ::close(fd);
+        return true;
+      }
+      munmap(anon, map_len);
+    }
+    // fallback: whole-file heap read (+ zero slack)
+    map_len = 0;
+    heap.assign(size + slack, 0);
+    ssize_t got = 0;
+    size_t off = 0;
+    while (off < size && (got = pread(fd, heap.data() + off, size - off, off)) > 0)
+      off += (size_t)got;
+    ::close(fd);
+    if (off != size) {
+      reset();
+      return false;
+    }
+    base = heap.data();
+    return true;
+  }
+
+  const char* data() const { return base; }
+};
 
 constexpr double kNegInf = -std::numeric_limits<double>::infinity();
 constexpr double kInf = std::numeric_limits<double>::infinity();
@@ -46,6 +125,8 @@ struct LMBase {
   // (prob, backoff) of the exact n-gram ids[0..n) (ids[0] oldest); false if absent
   virtual bool lookup_pb(const int32_t* ids, int n, float* p, float* b) const = 0;
   virtual int find_word(const std::string& w) const = 0;  // -1 / unk if absent
+  // 1 = file-backed via mmap, 0 = heap copy, -1 = not a binary container
+  virtual int used_mmap() const { return -1; }
 
   // log10 P(w | hist) with backoff; hist length <= order-1
   float score(const int32_t* hist, int hn, int32_t w) const {
@@ -271,7 +352,8 @@ static void probe_insert(E* table, uint64_t buckets, const E& entry) {
 }
 
 struct KenlmBinaryLM : LMBase {
-  std::vector<char> buf;  // whole file; tables are pointers into it
+  MappedFile map;  // mmap'd file; tables are pointers into it
+  int used_mmap() const override { return map.used_mmap ? 1 : 0; }
   const KenlmProbBackoff* unigram = nullptr;
   uint64_t n_unigram = 0;  // valid ids are [0, n_unigram)
   struct Mid { const KenlmMiddleEntry* t; uint64_t buckets; };
@@ -283,26 +365,23 @@ struct KenlmBinaryLM : LMBase {
   std::string error;
 
   bool load(const std::string& path) {
-    std::ifstream f(path, std::ios::binary);
-    if (!f) { error = "cannot open " + path; return false; }
-    f.seekg(0, std::ios::end);
-    buf.resize((size_t)f.tellg());
-    f.seekg(0);
-    f.read(buf.data(), buf.size());
-    if (buf.size() < sizeof(KenlmSanity) + sizeof(KenlmFixedParams)) {
+    if (!map.open(path)) { error = "cannot open " + path; return false; }
+    const char* buf_data = map.data();
+    const size_t buf_size = map.size;
+    if (buf_size < sizeof(KenlmSanity) + sizeof(KenlmFixedParams)) {
       error = "file too small for kenlm binary";
       return false;
     }
-    if (std::memcmp(buf.data(), kKenlmMagicPrefix, sizeof(kKenlmMagicPrefix) - 1)) {
+    if (std::memcmp(buf_data, kKenlmMagicPrefix, sizeof(kKenlmMagicPrefix) - 1)) {
       error = "bad kenlm magic";
       return false;
     }
-    if (buf[sizeof(kKenlmMagicPrefix)] != '5') {
+    if (buf_data[sizeof(kKenlmMagicPrefix)] != '5') {
       error = "unsupported kenlm binary format version (need 5)";
       return false;
     }
     KenlmFixedParams prm;
-    std::memcpy(&prm, buf.data() + sizeof(KenlmSanity), sizeof(prm));
+    std::memcpy(&prm, buf_data + sizeof(KenlmSanity), sizeof(prm));
     if (prm.model_type != 0) {
       error = "kenlm model type " + std::to_string(prm.model_type) +
               " unsupported (only PROBING; rebuild with `build_binary probing` "
@@ -313,32 +392,32 @@ struct KenlmBinaryLM : LMBase {
     if (order < 1 || order > 16) { error = "bad order"; return false; }
     std::vector<uint64_t> counts(order);
     uint64_t off = sizeof(KenlmSanity) + sizeof(KenlmFixedParams);
-    if (buf.size() < off + 8 * order) { error = "truncated header"; return false; }
-    std::memcpy(counts.data(), buf.data() + off, 8 * order);
+    if (buf_size < off + 8 * order) { error = "truncated header"; return false; }
+    std::memcpy(counts.data(), buf_data + off, 8 * order);
     off = align8(off + 8 * order);  // TotalHeaderSize
 
     // ProbingVocabulary: ALIGN8(header{uint64 bound}) + hash table
-    if (buf.size() < off + 8) { error = "truncated vocab header"; return false; }
+    if (buf_size < off + 8) { error = "truncated vocab header"; return false; }
     off += align8(8);
     vocab_buckets = probing_buckets(counts[0], prm.probing_multiplier);
-    vocab_table = reinterpret_cast<const KenlmVocabEntry*>(buf.data() + off);
+    vocab_table = reinterpret_cast<const KenlmVocabEntry*>(buf_data + off);
     off += vocab_buckets * sizeof(KenlmVocabEntry);
 
     // HashedSearch: unigram array, middles, longest
     n_unigram = counts[0] + 1;
-    unigram = reinterpret_cast<const KenlmProbBackoff*>(buf.data() + off);
+    unigram = reinterpret_cast<const KenlmProbBackoff*>(buf_data + off);
     off += n_unigram * sizeof(KenlmProbBackoff);
     for (int o = 2; o < order; ++o) {
       uint64_t bk = probing_buckets(counts[o - 1], prm.probing_multiplier);
-      middles.push_back({reinterpret_cast<const KenlmMiddleEntry*>(buf.data() + off), bk});
+      middles.push_back({reinterpret_cast<const KenlmMiddleEntry*>(buf_data + off), bk});
       off += bk * sizeof(KenlmMiddleEntry);
     }
     if (order > 1) {
       longest_buckets = probing_buckets(counts[order - 1], prm.probing_multiplier);
-      longest = reinterpret_cast<const KenlmLongestEntry*>(buf.data() + off);
+      longest = reinterpret_cast<const KenlmLongestEntry*>(buf_data + off);
       off += longest_buckets * sizeof(KenlmLongestEntry);
     }
-    if (buf.size() < off) { error = "truncated tables"; return false; }
+    if (buf_size < off) { error = "truncated tables"; return false; }
 
     unk_id = 0;  // kenlm convention: <unk> is always id 0
     bos_id = find_word("<s>");
@@ -589,7 +668,8 @@ static inline int bits_for(uint64_t max_val) {
 }
 
 struct QtLM : LMBase {
-  std::vector<char> buf;
+  MappedFile map;  // mmap'd with 8B zero slack for read_bits overreach
+  int used_mmap() const override { return map.used_mmap ? 1 : 0; }
   uint64_t vocab_n = 0;                    // word ids are [0, vocab_n]
   const uint64_t* vocab_hashes = nullptr;  // sorted, ids via vocab_ids
   const uint32_t* vocab_ids = nullptr;
@@ -606,14 +686,12 @@ struct QtLM : LMBase {
   std::string error;
 
   bool load(const std::string& path) {
-    std::ifstream f(path, std::ios::binary);
-    if (!f) { error = "cannot open " + path; return false; }
-    f.seekg(0, std::ios::end);
-    buf.resize((size_t)f.tellg() + 8);  // 8B slack for read_bits
-    f.seekg(0);
-    f.read(buf.data(), buf.size() - 8);
-    const char* p = buf.data();
-    const char* end = buf.data() + buf.size() - 8;
+    if (!map.open(path, /*slack=*/8)) {  // 8B readable slack for read_bits
+      error = "cannot open " + path;
+      return false;
+    }
+    const char* p = map.data();
+    const char* end = map.data() + map.size;
     auto need = [&](uint64_t n) {  // bounds-check before every deref
       if ((uint64_t)(end - p) < n) { error = "truncated qt file"; return false; }
       return true;
@@ -1856,6 +1934,10 @@ void* w2l_lm_load(const char* path) {
     return nullptr;
   }
   return static_cast<LMBase*>(lm);
+}
+
+int w2l_lm_used_mmap(void* ptr) {
+  return static_cast<LMBase*>(ptr)->used_mmap();
 }
 
 // ARPA -> kenlm PROBING binary (build_binary equivalent); 1 on success

@@ -248,6 +248,23 @@ class Trainer:
                 path, self.token_dict, self.lexicon, cfg, batch_size=vbs,
                 world_rank=w_rank, world_size=w_size,
             )
+        # --features_device=host: featurize in the prefetch threads
+        # (reference W2lDataset placement) and ship bf16 features — ~4x
+        # less device-bound traffic than f32 audio, and the device FFT
+        # leaves the jitted step (measured 3.5x faster steps on the
+        # tunneled v5e; see features.HostFeaturizer)
+        self.host_features = cfg.features_device == "host"
+        if self.host_features:
+            from ..features import HostFeaturizer
+
+            hf = HostFeaturizer(
+                self.feat_params,
+                out_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                           else jnp.float32),
+            )
+            self.train_ds.set_host_featurizer(hf)
+            for ds in self.valid_ds.values():
+                ds.set_host_featurizer(hf)
 
         self.meters = TrainMeters(list(self.valid_ds.keys()))
         # AMP dynamic loss scale (mostly unnecessary with bf16; kept for
@@ -278,7 +295,11 @@ class Trainer:
     def _loss_fn(self, model_params, crit_params, model_state, batch, rng, saug_on, train,
                  specaug="default", window=False):
         saug_mod = self.specaug if specaug == "default" else specaug
-        feats, flen = self.featurizer(batch["audio"], batch["audio_len"])
+        if "feats" in batch:  # host-featurized pipeline
+            feats, flen = batch["feats"], batch["feat_len"]
+            feats = feats.astype(jnp.float32)  # saug/jnp.where in f32
+        else:
+            feats, flen = self.featurizer(batch["audio"], batch["audio_len"])
         if saug_mod is not None and train:
             rng, k = jax.random.split(rng)
             feats = jnp.where(saug_on, saug_mod(feats, k, flen), feats)
@@ -383,7 +404,7 @@ class Trainer:
         return jax.jit(
             step,
             in_shardings=(None, None, None, None, None,
-                          {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")},
+                          {k: dat for k in self._batch_keys()},
                           rep, rep, rep, rep, rep),
             donate_argnums=(0, 1, 2, 3, 4),
         )
@@ -419,8 +440,16 @@ class Trainer:
         return jax.jit(
             step,
             in_shardings=(None, None, None,
-                          {k: dat for k in ("audio", "audio_len", "target", "target_len", "sample_idx", "row_mask")}),
+                          {k: dat for k in self._batch_keys()}),
         )
+
+    def _batch_keys(self):
+        """Step-input batch fields for the active pipeline mode."""
+        if getattr(self, "host_features", False):
+            return ("feats", "feat_len", "audio_len", "target", "target_len",
+                    "sample_idx", "row_mask")
+        return ("audio", "audio_len", "target", "target_len", "sample_idx",
+                "row_mask")
 
     def _prep(self, batch):
         from ..data.batching import pad_batch_rows
@@ -602,7 +631,7 @@ class Trainer:
                     # skip only at the scale floor (reference throws below
                     # kAmpMinimumScaleFactorValue; we floor at 1.0 for bf16).
                     if bool(finite):
-                        self.meters.train.loss.add(float(loss), batch["audio"].shape[0])
+                        self.meters.train.loss.add(float(loss), batch["audio_len"].shape[0])
                         self._amp_good += 1
                         if self._amp_good % cfg.fl_amp_scale_factor_update_interval == 0:
                             self.amp_scale = min(
@@ -619,7 +648,7 @@ class Trainer:
                     # async pipelining: keep loss/finite as device values and
                     # fetch at report boundaries so the host never stalls the
                     # device between steps
-                    self._pending.append((loss, finite, batch["audio"].shape[0]))
+                    self._pending.append((loss, finite, batch["audio_len"].shape[0]))
                 audio_s = float(np.sum(batch["audio_len"])) / cfg.samplerate
                 self.meters.speed.add_audio(audio_s)
                 if np.random.rand() * 100.0 < cfg.pcttraineval:

@@ -48,6 +48,13 @@ class LPMTrainer(Trainer):
                  unpaired_list: str = "", lm: Optional[LM] = None, **kw):
         assert cfg.criterion in ("seq2seq", "transformer"), "LPM needs s2s"
         super().__init__(cfg, **kw)
+        # the unpaired-audio cache/augment paths featurize raw audio
+        # themselves — keep the audio-domain pipeline regardless of
+        # --features_device
+        self.host_features = False
+        self.train_ds.set_host_featurizer(None)
+        for _ds in self.valid_ds.values():
+            _ds.set_host_featurizer(None)
         self.fl = dict(LPM_DEFAULTS)
         if lpm_flags:
             self.fl.update(lpm_flags)

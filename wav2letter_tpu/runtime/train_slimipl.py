@@ -102,6 +102,13 @@ class SlimIPLTrainer(Trainer):
     def __init__(self, cfg: Config, ipl_flags: Optional[Dict] = None,
                  unsup_list: str = "", **kw):
         super().__init__(cfg, **kw)
+        # the unpaired-audio cache/augment paths featurize raw audio
+        # themselves — keep the audio-domain pipeline regardless of
+        # --features_device
+        self.host_features = False
+        self.train_ds.set_host_featurizer(None)
+        for _ds in self.valid_ds.values():
+            _ds.set_host_featurizer(None)
         self.fl = dict(SLIMIPL_DEFAULTS)
         if ipl_flags:
             ipl_flags = dict(ipl_flags)
