@@ -271,3 +271,122 @@ def test_transformer_criterion_native_matches_python():
     py = LexiconFreeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=8)
     nat = NativeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=8)
     assert_match(py.decode(n_best=3), nat.decode(n_best=3))
+
+
+def test_batched_cross_utterance_matches_sequential():
+    """NativeSeq2SeqBatchDecoder (one device call per output position for N
+    utterances) must produce the SAME hypotheses/scores as running
+    NativeSeq2SeqDecoder per utterance, with and without an n-gram LM +
+    lexicon."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import S2SConfig, Seq2SeqCriterion
+    from wav2letter_tpu.decoder.seq2seq_beam import make_s2s_update_fn
+    from wav2letter_tpu.decoder.s2s_native import NativeSeq2SeqBatchDecoder
+
+    N_CLS, eos, pad = 8, 6, 7
+    rng = np.random.RandomState(3)
+    B, H = 4, 16
+    # different lengths per utterance (exercises the Tmax padding + mask)
+    elens = [6, 4, 7, 5]
+    targets = np.array(
+        [[0, 1, 2, -1], [3, 4, -1, -1], [2, 3, 4, -1], [1, 0, -1, -1]],
+        np.int32)
+    tlen = np.asarray([3, 2, 3, 2], np.int32)
+    Tmax = max(elens)
+    em = rng.randn(B, Tmax, H).astype(np.float32)
+    crit = Seq2SeqCriterion(
+        S2SConfig(n_classes=N_CLS, eos_idx=eos, pad_idx=pad, hidden=16,
+                  max_decoder_output_len=10),
+        CriterionScaleMode.NONE,
+    )
+    params = crit.init(jax.random.PRNGKey(1), jnp.asarray(em),
+                       jnp.asarray(targets), jnp.asarray(elens), jnp.asarray(tlen))
+    tx = optax.adam(2e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            return crit.apply(p, jnp.asarray(em), jnp.asarray(targets),
+                              jnp.asarray(elens), jnp.asarray(tlen)).mean()
+
+        l, g = jax.value_and_grad(lf)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, l
+
+    for _ in range(150):
+        params, opt, _ = step(params, opt)
+
+    opts = DecoderOptions(beam_size=4, beam_threshold=50.0,
+                          criterion_type=CriterionType.S2S)
+    ems = [em[b, : elens[b]] for b in range(B)]
+
+    batch = NativeSeq2SeqBatchDecoder(
+        opts, eos, crit, params["params"], max_output_len=10)
+    batch_res = batch.decode(ems, n_best=3)
+
+    for b in range(B):
+        fn, init = make_s2s_update_fn(crit, params["params"], ems[b], elens[b])
+        seq = NativeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=10)
+        seq_res = seq.decode(n_best=3)
+        assert len(batch_res[b]) == len(seq_res)
+        for br, sr in zip(batch_res[b], seq_res):
+            assert br.tokens == sr.tokens, (b, br.tokens, sr.tokens)
+            assert abs(br.score - sr.score) < 1e-3
+
+
+def test_batched_cross_utterance_with_lm_lexicon(tmp_path):
+    """Batched == sequential under trie constraint + n-gram shallow fusion
+    (fake-AM table is per-utterance here, exercised via the real criterion
+    path being unnecessary for beam-dynamics equality)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import S2SConfig, Seq2SeqCriterion
+    from wav2letter_tpu.decoder.seq2seq_beam import make_s2s_update_fn
+    from wav2letter_tpu.decoder.s2s_native import NativeSeq2SeqBatchDecoder
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    usr = ["ab", "bc"]
+    lm = NativeLM(str(arpa), usr_vocab=usr)
+    trie = NativeTrie(V)
+    trie.insert([0, 1], 0, 0.0)  # "ab": tokens 0,1
+    trie.insert([1, 2], 1, 0.0)  # "bc": tokens 1,2
+    trie.smear("max")
+
+    N_CLS, eos, pad = V, EOS, 7
+    rng = np.random.RandomState(5)
+    B, H = 3, 12
+    elens = [5, 6, 4]
+    em = rng.randn(B, max(elens), H).astype(np.float32)
+    crit = Seq2SeqCriterion(
+        S2SConfig(n_classes=N_CLS, eos_idx=eos, pad_idx=pad, hidden=12,
+                  max_decoder_output_len=8),
+        CriterionScaleMode.NONE,
+    )
+    params = crit.init(
+        jax.random.PRNGKey(2), jnp.asarray(em),
+        jnp.zeros((B, 3), jnp.int32), jnp.asarray(elens),
+        jnp.full((B,), 3, jnp.int32))
+
+    opts = DecoderOptions(beam_size=3, beam_threshold=50.0, lm_weight=1.1,
+                          word_score=0.4, criterion_type=CriterionType.S2S)
+    ems = [em[b, : elens[b]] for b in range(B)]
+    batch = NativeSeq2SeqBatchDecoder(
+        opts, eos, crit, params["params"], lm=lm, trie=trie,
+        max_output_len=8)
+    batch_res = batch.decode(ems, n_best=2)
+    for b in range(B):
+        fn, init = make_s2s_update_fn(crit, params["params"], ems[b], elens[b])
+        seq = NativeSeq2SeqDecoder(opts, eos, fn, init, lm=lm, trie=trie,
+                                   max_output_len=8)
+        seq_res = seq.decode(n_best=2)
+        for br, sr in zip(batch_res[b], seq_res):
+            assert br.tokens == sr.tokens and br.words == sr.words
+            assert abs(br.score - sr.score) < 1e-3

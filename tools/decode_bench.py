@@ -9,10 +9,13 @@ Reference shapes being matched:
     memory (`examples/AudioToWords.cpp:64-105`).
 
 Invoked via `bench.py` with BENCH_MODE=decode|streaming; emits the same
-one-line JSON schema as the training bench. Synthetic setup: flagship
-streaming_convnets TDS AM (115M, real arch file) with random params, a
-5k-word lexicon over wordpiece tokens, and a 3-gram KN LM trained on
-synthetic text — beam dynamics and throughput are what's measured, not WER.
+one-line JSON schema as the training bench. The AM is a TRAINED flagship
+(the soak's converged checkpoint when present, else a cached quick-train on
+the synthetic homophone corpus) decoding REAL corpus audio — RTF and WER
+are both reported. BENCH_SCALE=prod swaps in the production regime:
+200k-word lexicon + ~700MB mmap'd probing 4-gram (BENCH_LM_FORMAT=qt for
+the 166MB quantized trie), matching the reference's decode configuration
+(streaming_convnets/librispeech/README.md:116-123).
 """
 
 import json
@@ -25,12 +28,106 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 STREAMING_ARCH = (
     "/root/reference/recipes/streaming_convnets/librispeech/"
     "am_500ms_future_context.arch"
 )
+
+
+def _wer_count(ref, hyp):
+    from wav2letter_tpu.ops.editdistance import edit_distance
+
+    return edit_distance(ref, hyp)
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# Trained-AM setup (VERDICT r3: benches must run a TRAINED model, not a
+# random AM with a hand-boosted blank). Priority: the soak's converged
+# flagship checkpoint -> a cached quick-trained one -> train it now (a few
+# minutes on-chip; ~400 updates is enough for a peaked, blank-dominant CTC
+# with realistic beam-pruning dynamics and meaningful WER).
+# ---------------------------------------------------------------------------
+
+def _ensure_corpus(hours=1.0):
+    from wav2letter_tpu.tools.synth_corpus import generate
+
+    root = os.path.join(REPO, "_local", "corpora",
+                        "soak20h" if os.path.exists(
+                            os.path.join(REPO, "_local", "corpora", "soak20h",
+                                         "meta.json")) else "bench1h")
+    if root.endswith("bench1h"):
+        generate(root, train_hours=hours, dev_minutes=5, test_minutes=10,
+                 n_words=1000, n_homophone_pairs=100, lm_sentences=20000)
+    return root
+
+
+def _ensure_trained_am(corpus_root):
+    soak_am = os.path.join(REPO, "_local", "soak", "b128", "model_last.bin")
+    if os.path.exists(soak_am):
+        return soak_am
+    cache = os.path.join(REPO, "_local", "bench_am")
+    am = os.path.join(cache, "am", "model_last.bin")
+    if os.path.exists(am):
+        return am
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.train import Trainer
+
+    cfg = Config()
+    cfg.update(dict(
+        train=os.path.join(corpus_root, "train.lst"),
+        tokens=os.path.join(corpus_root, "tokens.txt"),
+        lexicon=os.path.join(corpus_root, "lexicon.txt"),
+        rundir=cache, runname="am", arch=STREAMING_ARCH,
+        criterion="ctc", mfsc=True, filterbanks=80, batchsize=64,
+        lr=0.4, momentum=0.0, netoptim="sgd", maxgradnorm=0.5,
+        onorm="target", sqnorm=True, nthread=4, iter=400, reportiters=0,
+        warmup=100, compute_dtype="bfloat16", pad_multiple=256, seed=7,
+    ))
+    Trainer(cfg).run()
+    return am
+
+
+def _ensure_corpus_lm(corpus_root):
+    """3-gram ARPA over the corpus language (reuses the soak's when built)."""
+    soak_lm = os.path.join(REPO, "_local", "soak", "lm3.arpa")
+    if os.path.exists(soak_lm):
+        return soak_lm
+    out = os.path.join(REPO, "_local", "bench_am", "lm3.arpa")
+    if not os.path.exists(out):
+        from wav2letter_tpu.tools.ngram_lm import train_ngram_lm
+
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        train_ngram_lm(os.path.join(corpus_root, "lm_corpus.txt"), out, order=3)
+    return out
+
+
+def _load_lexicon_words(path, token_dict):
+    """lexicon file -> (words, {word: [spelling_ids]})."""
+    words, spellings = [], {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            w, sp = parts[0], parts[1:]
+            ids = [token_dict.get_index(t) for t in sp if token_dict.contains(t)]
+            if w not in spellings:
+                words.append(w)
+                spellings[w] = []
+            if ids:
+                spellings[w].append(ids)
+    return words, spellings
 
 
 def _synth_lexicon_and_lm(n_words, n_tokens, tmpdir, order=3, seed=0):
@@ -93,109 +190,97 @@ def _build_native(words, spellings, arpa, n_tokens, beam, sil, blank,
     )
     if convlm is not None:
         lm = NativeExternalLM(convlm)
-        score_lm = convlm
+        start = convlm.start(False)
+        unigram = [convlm.score(start, wi)[1] for wi in range(len(words))]
     else:
-        from wav2letter_tpu.decoder.lm import KenLM
-
         lm = NativeLM(arpa, usr_vocab=words)
-        score_lm = KenLM(arpa, usr_vocab=words)
+        # word start scores straight from the native LM (no Python ARPA
+        # re-parse — matters at 200k words / GB binaries)
+        unigram = [lm.score_word(wi) for wi in range(len(words))]
     trie = NativeTrie(n_tokens)
-    start = score_lm.start(False)
     for wi, w in enumerate(words):
-        _, sc = score_lm.score(start, wi)
         for sp in spellings[w]:
-            trie.insert(sp, wi, sc)
+            trie.insert(sp, wi, unigram[wi])
     trie.smear("max")
     return NativeBeamDecoder(opts, trie, lm, sil, blank, -1, n_tokens,
                              is_token_lm=False)
 
 
 def run_decode_bench():
-    """TPU AM forward -> emission queue -> native beam consumer pool."""
-    import jax
-    import jax.numpy as jnp
+    """TPU AM forward -> emission queue -> native beam consumer pool, on a
+    TRAINED flagship AM over real corpus audio (WER is reported alongside
+    RTF). BENCH_SCALE=prod switches to the reference's production regime:
+    200k-word lexicon + a ~700MB mmap'd probing 4-gram (BENCH_LM_FORMAT=qt:
+    the 166MB quantized trie) — matching
+    streaming_convnets/librispeech/README.md:116-123."""
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.data import AsrDataset, PrefetchIterator
+    from wav2letter_tpu.data.targets import tokens_to_words
+    from wav2letter_tpu.ops.editdistance import edit_distance
+    from wav2letter_tpu.runtime.test import Evaluator
 
-    from wav2letter_tpu.features import FeatureParams, Featurizer
-    from wav2letter_tpu.models.arch import build_arch_module
-
-    n_feat, n_label = 80, 9998
     beam = int(os.environ.get("BENCH_BEAM", "50"))
     n_thr = int(os.environ.get("BENCH_NTHREAD", "4"))
-    secs = float(os.environ.get("BENCH_SECS", "15"))
-    n_utts = int(os.environ.get("BENCH_UTTS", "32"))
-    B = int(os.environ.get("BENCH_BATCH", "8"))
-
-    model = build_arch_module(STREAMING_ARCH, n_feat, n_label)
-    featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
-    rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
-                        jnp.asarray([128]))
-
-    # device-side top-k emission compression (BENCH_TOPK=0 to ship full
-    # rows): the beam reads only the top beam_size_token tokens per frame,
-    # so (val, idx) pairs cut device->host transfer ~V/k — the producer's
-    # bottleneck (60 MB/batch full vs ~0.4 MB compressed at k=30)
+    n_utts = int(os.environ.get("BENCH_UTTS", "64"))
+    scale = os.environ.get("BENCH_SCALE", "corpus")  # corpus | prod
     topk = int(os.environ.get("BENCH_TOPK", "30"))
+    lm_kind = os.environ.get("BENCH_LM", "ngram")  # ngram | convlm
 
-    @jax.jit
-    def fwd(params, audio, audio_len):
-        # params as an argument (NOT closed over: closure would embed 115M
-        # floats as HLO constants — oversized compile payloads)
-        feats, flen = featurizer(audio, audio_len)
-        em, elen = model.apply(params, feats.astype(jnp.bfloat16), flen)
-        em = em.astype(jnp.float32)
-        # trained CTC models are blank-dominant; the random-init AM is not,
-        # which starves the beam (candidate sets need blank present). Boost
-        # blank to reproduce the trained regime for beam-dynamics purposes.
-        em = em.at[..., n_label - 1].add(4.0)
-        em = jax.nn.log_softmax(em, -1)
-        if topk > 0:
-            vals, idx = jax.lax.top_k(em, topk)
-            return vals, idx.astype(jnp.int32), elen
-        return em, None, elen
+    corpus = _ensure_corpus()
+    am = _ensure_trained_am(corpus)
+    cfg = Config()
+    cfg.update(dict(am=am, test=os.path.join(corpus, "test.lst"),
+                    batchsize=8, nthread=2, pad_multiple=256))
+    ev = Evaluator(cfg)
+    n_label = ev.n_classes
+    sil = ev.token_dict.get_index("|")
+    blank = n_label - 1
 
-    def fetch(out):
-        """-> per-utterance full emission rows (sparse-reconstructed)."""
-        vals, idx, elen = out
-        el = np.asarray(elen)
-        if idx is None:
-            em_np = np.asarray(vals)
-            return [em_np[i, : int(el[i])] for i in range(em_np.shape[0])]
-        v, ix = np.asarray(vals), np.asarray(idx)
-        outs = []
-        for i in range(v.shape[0]):
-            T = int(el[i])
-            e = np.full((T, n_label), -1e30, np.float32)
-            np.put_along_axis(e, ix[i, :T], v[i, :T], axis=1)
-            outs.append(e)
-        return outs
+    rss0 = _rss_mb()
+    if scale == "prod":
+        from wav2letter_tpu.tools.prod_scale import build_prod_artifacts
 
-    s = int(16000 * secs)
-    audio = 0.1 * jax.random.normal(rng, (B, s), jnp.float32)
-    alen = jnp.full((B,), s, jnp.int32)
-    fetch(fwd(params, audio, alen))  # compile
+        prod = build_prod_artifacts(os.path.join(REPO, "_local", "prod"))
+        lex_path = prod["lexicon"]
+        lm_path = prod["qt" if os.environ.get("BENCH_LM_FORMAT") == "qt"
+                       else "bin"]
+    else:
+        lex_path = os.path.join(corpus, "lexicon.txt")
+        lm_path = _ensure_corpus_lm(corpus)
+    words, spellings = _load_lexicon_words(lex_path, ev.token_dict)
 
-    tmpdir = tempfile.mkdtemp(prefix="w2l_decbench_")
-    words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
-
-    # BENCH_LM=convlm: neural LM through the deferred batched-scoring
-    # protocol (one device call per step batch per decoder) instead of the
-    # in-process n-gram
-    lm_kind = os.environ.get("BENCH_LM", "ngram")
+    # decoder build: LM load (mmap for binary containers) + trie build,
+    # timed separately — the production startup costs (reference pays
+    # these per decode-job launch)
+    convlm = _make_bench_convlm(words) if lm_kind == "convlm" else None
     t0 = time.perf_counter()
-    decoders = [
-        _build_native(
-            words, spellings, arpa, n_label, beam, 0, n_label - 1,
-            convlm=_make_bench_convlm(words) if lm_kind == "convlm" else None,
-        )
-        for _ in range(n_thr)
-    ]
+    decoders = []
+    lm_load_s = trie_s = 0.0
+    used_mmap = None
+    for _ in range(n_thr):
+        t1 = time.perf_counter()
+        dec = _build_native(words, spellings, lm_path, n_label, beam, sil,
+                            blank, convlm=convlm)
+        decoders.append(dec)
     build_s = time.perf_counter() - t0
+    from wav2letter_tpu.decoder.native import NativeLM
+
+    t1 = time.perf_counter()
+    probe_lm = NativeLM(lm_path, usr_vocab=words[:100])
+    lm_load_s = time.perf_counter() - t1
+    used_mmap = probe_lm.used_mmap
+    rss1 = _rss_mb()
+
+    ds = AsrDataset(os.path.join(corpus, "test.lst"), ev.token_dict,
+                    ev.lexicon, ev.cfg, batch_size=8)
+    word_index = {w: i for i, w in enumerate(words)}
 
     emq: "queue.Queue" = queue.Queue(maxsize=64)
     beam_time = [0.0] * n_thr
-    done = [0]
     lock = threading.Lock()
+    wer_err = [0]
+    wer_tot = [0]
+    audio_s_done = [0.0]
 
     def consumer(ti):
         dec = decoders[ti]
@@ -203,95 +288,126 @@ def run_decode_bench():
             item = emq.get()
             if item is None:
                 return
+            em, ref_words = item
             t0 = time.perf_counter()
-            dec.decode(item)
-            beam_time[ti] += time.perf_counter() - t0
+            res = dec.decode(em)[0]
+            dt = time.perf_counter() - t0
+            hyp = [words[w] for w in res.words if w >= 0]
             with lock:
-                done[0] += 1
+                beam_time[ti] += dt
+                wer_err[0] += edit_distance(ref_words, hyp)
+                wer_tot[0] += len(ref_words)
 
     threads = [threading.Thread(target=consumer, args=(i,)) for i in range(n_thr)]
+
+    # producer: batched TPU AM forward with device-side top-k emission
+    # compression (~V/k less device->host traffic; bit-identical decode)
+    specs = ds.batch_specs()
+    it = PrefetchIterator(ds, specs, num_threads=2)
+    wsep = ev.cfg.wordseparator
+
+    produced = 0
     wall0 = time.perf_counter()
     for t in threads:
         t.start()
-    # producer: one TPU forward per batch, emissions to the queue
-    produced = 0
-    while produced < n_utts:
-        rows = fetch(fwd(params, audio, alen))
-        for i in range(min(B, n_utts - produced)):
-            emq.put(rows[i])
-        produced += min(B, n_utts - produced)
+    for batch in it:
+        if produced >= n_utts:
+            break
+        if topk > 0:
+            vals, idx, elen = ev.emissions_topk(batch, topk)
+            v, ix, el = np.asarray(vals), np.asarray(idx), np.asarray(elen)
+        else:
+            em_all, elen = ev.emissions(batch)
+            em_all, el = np.asarray(em_all), np.asarray(elen)
+        for i in range(batch["audio"].shape[0]):
+            if produced >= n_utts:
+                break
+            if int(batch["sample_idx"][i]) < 0:
+                continue
+            T = int(el[i])
+            if topk > 0:
+                e = np.full((T, n_label), -1e30, np.float32)
+                np.put_along_axis(e, ix[i, :T], v[i, :T], axis=1)
+            else:
+                e = em_all[i, :T]
+            tl = int(batch["target_len"][i])
+            ref_toks = [int(t) for t in batch["target"][i, :tl]]
+            ref_words = tokens_to_words(
+                ev.token_dict.map_indices(ref_toks), wsep, False)
+            emq.put((e, ref_words))
+            audio_s_done[0] += float(batch["audio_len"][i]) / 16000.0
+            produced += 1
     for _ in threads:
         emq.put(None)
     for t in threads:
         t.join()
     wall = time.perf_counter() - wall0
 
-    audio_s = n_utts * secs
-    rtf = wall / audio_s
-    beam_rtf = sum(beam_time) / n_thr / audio_s  # per-thread avg
+    rtf = wall / max(audio_s_done[0], 1e-9)
+    beam_rtf = sum(beam_time) / n_thr / max(audio_s_done[0], 1e-9)
+    wer = 100.0 * wer_err[0] / max(wer_tot[0], 1)
     print(json.dumps({
-        "metric": f"decode_rtf_beam{beam}_nt{n_thr}" + (
-            "_convlm" if lm_kind == "convlm" else ""),
+        "metric": f"decode_rtf_beam{beam}_nt{n_thr}"
+                  + ("_prod" if scale == "prod" else "")
+                  + ("_convlm" if lm_kind == "convlm" else ""),
         "value": round(rtf, 5),
         "unit": "RTF (end-to-end wall / audio-s; TPU AM fwd + emission queue + native beam)",
         "vs_baseline": round(1.0 / rtf, 1),
         "baseline_note": "vs_baseline = x realtime; reference publishes no decode RTF",
-        "beam_rtf_per_thread": round(beam_rtf, 5),
         "x_realtime": round(1.0 / rtf, 1),
+        "beam_rtf_per_thread": round(beam_rtf, 5),
+        "wer_pct": round(wer, 2),
+        "trained_am": am,
+        "lexicon_words": len(words),
+        "lm_file": os.path.basename(lm_path),
+        "lm_mb": round(os.path.getsize(lm_path) / 1e6, 1),
+        "lm_mmap": used_mmap,
+        "lm_load_s": round(lm_load_s, 3),
         "decoder_build_s": round(build_s, 2),
-        "utts": n_utts, "secs": secs, "batch": B, "emission_topk": topk,
+        "rss_delta_mb": round(rss1 - rss0, 1),
+        "utts": produced, "audio_s": round(audio_s_done[0], 1),
+        "emission_topk": topk,
     }))
 
 
 def run_streaming_bench():
-    """500 ms chunk loop through the converted flagship bundle + online
-    native decoder: per-chunk p50/p95 latency and RTF."""
-    import jax
-    import jax.numpy as jnp
-
-    from wav2letter_tpu.features import FeatureParams
-    from wav2letter_tpu.inference.convert import (
-        build_streaming_layers, map_params, parse_arch_file,
+    """500 ms chunk loop through the TRAINED flagship converted to a
+    streaming bundle + online native decoder: per-chunk p50/p95 latency,
+    RTF, and transcription WER on real corpus audio."""
+    from wav2letter_tpu.data import read_list_file
+    from wav2letter_tpu.data.audio import load_audio
+    from wav2letter_tpu.data.dictionary import Dictionary
+    from wav2letter_tpu.inference import (
+        StreamingFeaturizer, convert_checkpoint, load_streaming_bundle,
     )
-    from wav2letter_tpu.inference.streaming import (
-        StreamingFeaturizer, StreamingNetwork,
-    )
-    from wav2letter_tpu.models.arch import build_arch_module
 
-    n_feat, n_label = 80, 9998
     beam = int(os.environ.get("BENCH_BEAM", "100"))
-    secs = float(os.environ.get("BENCH_SECS", "15"))
     chunk_ms = int(os.environ.get("BENCH_CHUNK_MS", "500"))
 
-    model = build_arch_module(STREAMING_ARCH, n_feat, n_label)
-    rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, jnp.zeros((1, 128, n_feat)),
-                        jnp.asarray([128]))
+    corpus = _ensure_corpus()
+    am = _ensure_trained_am(corpus)
+    bundle = os.path.join(os.path.dirname(am), "am.stream")
+    if not os.path.exists(bundle) or (
+        os.path.getmtime(bundle) < os.path.getmtime(am)
+    ):
+        convert_checkpoint(am, bundle)
+    net, fp, meta = load_streaming_bundle(bundle)
+    tok_dict = Dictionary([str(t) for t in meta["tokens"]])
+    n_label = len(tok_dict)
 
-    lines = parse_arch_file(STREAMING_ARCH, n_feat, n_label)
-    layers, pmap = build_streaming_layers(lines, n_feat)
-    sparams = map_params(pmap, params["params"])
-    # blank-dominance bias (see run_decode_bench): fold +4.0 into the final
-    # linear's blank bias so the untrained AM behaves like a trained CTC
-    for k in sparams:
-        if k.endswith("_b") and sparams[k].shape[-1] == n_label:
-            b = np.array(sparams[k])
-            b[..., n_label - 1] += 4.0
-            sparams[k] = b
-    net = StreamingNetwork(layers, sparams)
-
-    fp = FeatureParams(n_filterbanks=n_feat, local_norm_left=300)
     sf = StreamingFeaturizer(fp)
-
-    tmpdir = tempfile.mkdtemp(prefix="w2l_sbench_")
-    words, spellings, arpa = _synth_lexicon_and_lm(5000, n_label, tmpdir)
-    dec = _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
+    words, spellings = _load_lexicon_words(
+        os.path.join(corpus, "lexicon.txt"), tok_dict)
+    arpa = _ensure_corpus_lm(corpus)
+    sil = tok_dict.get_index("|")
+    dec = _build_native(words, spellings, arpa, n_label, beam, sil,
+                        n_label - 1)
 
     sr = fp.sample_rate
     chunk_samples = sr * chunk_ms // 1000
-    audio = np.asarray(
-        0.1 * jax.random.normal(rng, (int(sr * secs),), jnp.float32)
-    )
+    sample = read_list_file(os.path.join(corpus, "test.lst"))[0]
+    audio = load_audio(sample.audio_path, sr)
+    secs = len(audio) / sr
     stride_ms = fp.frame_stride_ms
 
     # BENCH_STREAMS=N: multi-stream serving — the TPU-native inversion of
@@ -303,6 +419,8 @@ def run_streaming_bench():
         _build_native(words, spellings, arpa, n_label, beam, 0, n_label - 1)
         for _ in range(n_streams - 1)
     ]
+
+    final_hyp = []
 
     def run_once(collect):
         import concurrent.futures as cf
@@ -351,6 +469,8 @@ def run_streaming_bench():
                 d.decode_step(em[i])
         for d in decs:
             d.decode_end()
+        res = decs[0].get_results(1)[0]
+        final_hyp[:] = [words[w] for w in res.words if w >= 0]
         if pool is not None:
             pool.shutdown()
         return lat
@@ -374,6 +494,9 @@ def run_streaming_bench():
         "streams": n_streams,
         "aggregate_x_realtime": round(n_streams / rtf, 1),
         "chunks": len(lat),
+        "trained_am": am,
+        "stream_word_errors": _wer_count(sample.transcript.split(), final_hyp),
+        "ref_words": len(sample.transcript.split()),
     }))
 
 
@@ -452,6 +575,13 @@ def run_s2s_decode_bench():
                           word_score=0.5, eos_score=0.0,
                           criterion_type=CriterionType.S2S)
 
+    # BENCH_S2S_BATCH=N (default 8): cross-utterance batched beams — ONE
+    # device call per output position advances ALL N utterances' beams
+    # (NativeSeq2SeqBatchDecoder; differential-equal to sequential). N=1:
+    # the sequential per-utterance loop (r3 baseline, RTF 0.72
+    # tunnel-roundtrip-bound).
+    n_batch = int(os.environ.get("BENCH_S2S_BATCH", "8"))
+
     def decode_one():
         fn, init = make_s2s_update_fn(criterion, crit_params, em_np,
                                       em_np.shape[0])
@@ -461,18 +591,36 @@ def run_s2s_decode_bench():
         )
         return dec.decode(n_best=1)
 
-    decode_one()  # warm compile of the per-K step shapes
-    t0 = time.perf_counter()
-    for _ in range(n_utts):
-        decode_one()
-    wall = time.perf_counter() - t0
-    rtf = wall / (n_utts * secs)
+    if n_batch > 1:
+        from wav2letter_tpu.decoder.s2s_native import NativeSeq2SeqBatchDecoder
+
+        bdec = NativeSeq2SeqBatchDecoder(
+            opts, n_label - 2, criterion, crit_params, lm=lm, trie=trie,
+            word_sep_idx=0, max_output_len=max_out,
+        )
+        ems = [em_np] * n_batch
+        bdec.decode(ems, n_best=1)  # warm compile (single static shape)
+        n_rounds = max(1, n_utts // n_batch)
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            bdec.decode(ems, n_best=1)
+        wall = time.perf_counter() - t0
+        rtf = wall / (n_rounds * n_batch * secs)
+    else:
+        decode_one()  # warm compile of the per-K step shapes
+        t0 = time.perf_counter()
+        for _ in range(n_utts):
+            decode_one()
+        wall = time.perf_counter() - t0
+        rtf = wall / (n_utts * secs)
     print(json.dumps({
-        "metric": f"s2s_decode_rtf_beam{beam}",
+        "metric": f"s2s_decode_rtf_beam{beam}"
+                  + (f"_batch{n_batch}" if n_batch > 1 else ""),
         "value": round(rtf, 5),
         "unit": "RTF (TPU encoder + per-step batched decoder device call + native beam)",
         "vs_baseline": round(1.0 / rtf, 1),
         "baseline_note": "vs_baseline = x realtime; reference publishes no decode RTF",
         "x_realtime": round(1.0 / rtf, 1),
         "utts": n_utts, "secs": secs, "max_out": max_out,
+        "cross_utterance_batch": n_batch,
     }))

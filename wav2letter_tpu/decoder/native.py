@@ -32,6 +32,18 @@ class NativeLM:
             )
             self.usr_map[self.usr_map < 0] = unk
 
+    def score_word(self, usr_idx: int) -> float:
+        """Unigram log10 score of a usr-vocab word (trie smearing start
+        scores; reference Decoder.cpp:73-94)."""
+        lm_id = int(self.usr_map[usr_idx]) if self.usr_map is not None else usr_idx
+        empty = np.zeros(1, np.int32)  # unused at hn=0; avoids a null deref
+        return float(
+            self.lib.w2l_lm_score_hist(
+                self.ptr, empty.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                0, ctypes.c_int32(lm_id)
+            )
+        )
+
     @property
     def used_mmap(self) -> int:
         """1 = file-backed mmap (binary containers), 0 = heap copy
