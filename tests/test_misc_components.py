@@ -230,3 +230,38 @@ def test_wsj_full_prep(tmp_path):
 
     s = read_list_file(str(out))[0]
     assert s.transcript == "hello world"
+
+
+def test_s2s_batch_decode_equivalence(tmp_path):
+    """--s2s_batch_decode=N (cross-utterance batched beams through one
+    jitted decoder-step call) must give the SAME WER/TER and sclite rows as
+    sequential per-utterance decode."""
+    from tests.util_synth import make_dataset
+    from wav2letter_tpu.config import Config
+    from wav2letter_tpu.runtime.decode import run_decode
+    from wav2letter_tpu.runtime.train import Trainer
+
+    lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=8, seed=53)
+    arch = tmp_path / "a.arch"
+    arch.write_text("V -1 1 NFEAT 0\nC NFEAT 64 8 4 4\nGLU 2\nRO 2 0 3 1\nL 32 NLABEL\n")
+    cfg = Config()
+    cfg.update(
+        dict(train=lst, tokens=tokens, lexicon=lexicon, rundir=str(tmp_path),
+             runname="s2sb", batchsize=8, mfsc=True, filterbanks=40,
+             criterion="seq2seq", encoderdim=32, maxdecoderoutputlen=12,
+             lr=0.05, netoptim="adam", lrcrit=0.05, critoptim="adam",
+             iter=12, nthread=1, pad_multiple=64, arch=str(arch),
+             compute_dtype="float32")
+    )
+    Trainer(cfg).run()
+    am = os.path.join(str(tmp_path), "s2sb", "model_last.bin")
+    base = dict(am=am, test=lst, nthread=1, nthread_decoder=1, beamsize=4,
+                beamthreshold=50.0, uselexicon=True)
+    seq_cfg = Config()
+    seq_cfg.update(dict(base, s2s_batch_decode=1))
+    seq = run_decode(seq_cfg)
+    bat_cfg = Config()
+    bat_cfg.update(dict(base, s2s_batch_decode=4))
+    bat = run_decode(bat_cfg)
+    assert seq["WER"] == bat["WER"], (seq, bat)
+    assert seq["TER"] == bat["TER"]

@@ -421,6 +421,16 @@ def run_streaming_bench():
     ]
 
     final_hyp = []
+    # BENCH_OVERLAP=1 (default): double-buffer — chunk t's batched
+    # stream-net step runs on the device WHILE the host beams consume
+    # chunk t-1's emissions (VERDICT r3 weak #3: the serialized
+    # device-step -> host-beam loop made 8-stream p50 scale 68.9 ->
+    # 331.8 ms). JAX async dispatch makes this a pure restructuring: the
+    # device call is enqueued, the previous chunk's (already-materialized)
+    # emissions are fetched, and the beam threads work during the current
+    # chunk's device execution. Latency per chunk is measured feed-time ->
+    # that chunk's hypotheses ready (one pipeline stage deeper).
+    overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
 
     def run_once(collect):
         import concurrent.futures as cf
@@ -431,6 +441,24 @@ def run_streaming_bench():
         for d in decs:
             d.decode_begin()
         pool = (cf.ThreadPoolExecutor(n_streams) if n_streams > 1 else None)
+        look_back = int(250 / stride_ms)
+
+        def step_one(i, em):
+            decs[i].decode_step(em[i])
+            decs[i].get_best_hypothesis(0)
+            decs[i].prune(look_back=look_back)
+
+        def drain(p):
+            t_feed, y = p
+            em = np.asarray(y)[:, :, 0, :]  # blocks until that step is done
+            if pool is not None:
+                list(pool.map(lambda i: step_one(i, em), range(n_streams)))
+            else:
+                step_one(0, em)
+            if collect:
+                lat.append(time.perf_counter() - t_feed)
+
+        pending = None
         pos = 0
         while pos < len(audio):
             t0 = time.perf_counter()
@@ -444,24 +472,19 @@ def run_streaming_bench():
                     feats[None, :, :, None],
                     (n_streams,) + feats.shape + (1,),
                 )
-                nstates, y = net.run(nstates, x)
+                nstates, y = net.run(nstates, x)  # async dispatch
                 if y.shape[1]:
-                    em = np.asarray(y)[:, :, 0, :]
-
-                    def step_one(i):
-                        decs[i].decode_step(em[i])
-                        decs[i].get_best_hypothesis(0)
-                        decs[i].prune(look_back=int(250 / stride_ms))
-
-                    if pool is not None:
-                        list(pool.map(step_one, range(n_streams)))
+                    if overlap:
+                        if pending is not None:
+                            drain(pending)
+                        pending = (t0, y)
                     else:
-                        step_one(0)
+                        drain((t0, y))
             else:
                 for d in decs:
                     d.get_best_hypothesis(0)
-            if collect:
-                lat.append(time.perf_counter() - t0)
+        if pending is not None:
+            drain(pending)
         nstates, y = net.finish(nstates)
         if y is not None and y.shape[1]:
             em = np.asarray(y)[:, :, 0, :]
@@ -494,6 +517,7 @@ def run_streaming_bench():
         "streams": n_streams,
         "aggregate_x_realtime": round(n_streams / rtf, 1),
         "chunks": len(lat),
+        "overlap": overlap,
         "trained_am": am,
         "stream_word_errors": _wer_count(sample.transcript.split(), final_hyp),
         "ref_words": len(sample.transcript.split()),

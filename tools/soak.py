@@ -161,10 +161,21 @@ class Soak:
                       "--compute_dtype=float32", "--pad_multiple=64"]
         return flags
 
-    def _spawn_train(self, mode_args, logf):
+    def _train_env(self):
         env = dict(os.environ)
         if self.fast:
             env["JAX_PLATFORMS"] = "cpu"
+        # persistent XLA compile cache: the flagship train step costs
+        # ~150 s/shape to compile remotely and compiles twice per shape
+        # (pre/post-donation layouts); kill+continue and the B=32 regime
+        # would otherwise re-pay all of it
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, "_local", "jax_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+        return env
+
+    def _spawn_train(self, mode_args, logf):
+        env = self._train_env()
         return subprocess.Popen(
             [PY, os.path.join(REPO, "cli", "train.py"), *mode_args],
             stdout=open(logf, "ab"), stderr=subprocess.STDOUT,
@@ -270,9 +281,7 @@ class Soak:
     # ------------------------------------------------------------------
     def _run_cli(self, script, flags, tag, timeout=7200):
         logf = os.path.join(self.root, f"{tag}.console")
-        env = dict(os.environ)
-        if self.fast:
-            env["JAX_PLATFORMS"] = "cpu"
+        env = self._train_env()
         out = subprocess.run(
             [PY, os.path.join(REPO, "cli", script), *flags],
             capture_output=True, text=True, env=env, timeout=timeout,

@@ -75,6 +75,9 @@ _DEFS: List[FlagDef] = [
     _f("max_load", int, -1, "max samples to load per list (-1 = all)"),
     _f("sfx_config", str, "", "JSON sound-effect chain config path"),
     _f("pad_multiple", int, 128, "TPU: pad batch time dim to a multiple (static shapes)"),
+    _f("s2s_batch_decode", int, 1,
+       "cross-utterance batched s2s beam decode: N utterances' beams "
+       "advance through one jitted decoder-step device call (native only)"),
     _f("features_device", str, "host",
        "'host': featurize in the data threads and ship bf16 features "
        "(reference W2lDataset placement; ~4x less accelerator-bound traffic)"

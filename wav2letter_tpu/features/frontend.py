@@ -302,7 +302,11 @@ class HostFeaturizer:
     def __init__(self, params: FeatureParams, out_dtype=None):
         import jax
 
-        self._cpu = jax.devices("cpu")[0]
+        # local_devices: under multi-process (jax.distributed) the global
+        # device list contains other hosts' CPUs — device_put to a
+        # non-addressable device breaks (and per-host featurization must
+        # stay host-local by definition)
+        self._cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(self._cpu):
             self._feat = Featurizer(params)
         feat = self._feat

@@ -244,6 +244,7 @@ def run_decode(cfg: Config) -> Dict[str, float]:
               "show", "showletters", "isbeamdump", "smoothingtemperature",
               "lmtype", "lm_vocab", "lm_memory", "lmdict",
               "attentionthreshold", "hardselection", "softselection",
+              "s2s_batch_decode",
               "use_completed_hyp", "emission_queue_size"):
         ecfg.update({k: cfg.get(k)})
 
@@ -386,10 +387,100 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                         if ids:
                             s2s_trie.insert(ids, widx, 0.0)
                 s2s_trie.smear("none" if s2s_native else SmearingMode.NONE)
+
+        def handle_s2s(sid, ref_toks, results):
+            """Shared s2s result handling: beam dump, meters, sclite."""
+            if ecfg.isbeamdump:
+                from ..tools.rescore import BeamHyp
+
+                pool = results
+                if ecfg.use_completed_hyp:
+                    # rescoring cfgs (--use_completed_hyp=true): dump
+                    # only EOS-completed hypotheses
+                    pool = [r for r in results if r.completed] or results
+                dumped = []
+                for r in pool:
+                    ws = ([word_dict.get_entry(w) for w in r.words if w >= 0]
+                          if word_dict else
+                          tokens_to_words(
+                              ev.token_dict.map_indices(
+                                  [t for t in r.tokens
+                                   if 0 <= t < ev.n_classes - 2]),
+                              ecfg.wordseparator, ecfg.usewordpiece))
+                    dumped.append(BeamHyp(sid, ws, r.am_score, r.lm_score))
+                with lock:
+                    beam_dump[sid] = dumped
+            res = results[0]
+            emitted = [w for w in res.words if w >= 0]
+            if word_dict and emitted:
+                hyp_w = [word_dict.get_entry(w) for w in emitted]
+            else:
+                # s2s tokens are final symbols: no CTC dedup/blank rules
+                hyp_w = tokens_to_words(
+                    ev.token_dict.map_indices(
+                        [t for t in res.tokens if 0 <= t < ev.n_classes - 2]
+                    ),
+                    ecfg.wordseparator, ecfg.usewordpiece,
+                )
+            ref_w = tokens_to_words(
+                ev.token_dict.map_indices(ref_toks), ecfg.wordseparator,
+                ecfg.usewordpiece,
+            )
+            with lock:
+                meters.wrd_edit.add(ref_w, hyp_w)
+                meters.tkn_edit.add(ref_toks, [t for t in res.tokens if t >= 0])
+                sclite_rows.append((sid, ref_w, hyp_w))
+                if ecfg.show:
+                    print(f"|T|: {' '.join(ref_w)}")
+                    print(f"|P|: {' '.join(hyp_w)}")
+
+        if is_s2s:
+            eos = ev.n_classes - 2
+            prune_kw = dict(
+                attention_threshold=ecfg.attentionthreshold,
+                hard_selection=ecfg.hardselection,
+                soft_selection=ecfg.softselection,
+            )
+            s2s_nbest = 50 if ecfg.isbeamdump else 1
+        # --s2s_batch_decode=N: cross-utterance batched beams — one jitted
+        # decoder-step device call advances N utterances' beams
+        # (NativeSeq2SeqBatchDecoder; differentially equal to sequential).
+        # The reference's answer is one DecoderThread per utterance, each
+        # making its own per-step AM call (Decode.cpp:529-624).
+        use_batched = (
+            is_s2s and s2s_native and (ecfg.s2s_batch_decode or 1) > 1
+        )
+        if use_batched:
+            from ..decoder.s2s_native import NativeSeq2SeqBatchDecoder
+
+            bdec = NativeSeq2SeqBatchDecoder(
+                s2s_opts, eos, ev.s2s_criterion, ev.crit_params,
+                lm=s2s_lm, trie=s2s_trie,
+                max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
+            )
         while True:
             item = emq.get()
             if item is None:
                 return
+            if use_batched:
+                items = [item]
+                got_sentinel = False
+                while len(items) < ecfg.s2s_batch_decode:
+                    try:
+                        nxt = emq.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        got_sentinel = True
+                        break
+                    items.append(nxt)
+                res_lists = bdec.decode(
+                    [it[1] for it in items], n_best=s2s_nbest)
+                for (sid, _em, ref_toks), results in zip(items, res_lists):
+                    handle_s2s(sid, ref_toks, results)
+                if got_sentinel:
+                    return
+                continue
             sid, em, ref_toks = item
             if is_s2s:
                 from ..decoder.seq2seq_beam import (
@@ -400,12 +491,6 @@ def run_decode(cfg: Config) -> Dict[str, float]:
 
                 fn, init = make_s2s_update_fn(
                     ev.s2s_criterion, ev.crit_params, em, em.shape[0]
-                )
-                eos = ev.n_classes - 2
-                prune_kw = dict(
-                    attention_threshold=ecfg.attentionthreshold,
-                    hard_selection=ecfg.hardselection,
-                    soft_selection=ecfg.softselection,
                 )
                 if s2s_native:
                     from ..decoder.s2s_native import NativeSeq2SeqDecoder
@@ -424,50 +509,8 @@ def run_decode(cfg: Config) -> Dict[str, float]:
                         s2s_opts, eos, fn, init, s2s_lm,
                         max_output_len=ecfg.maxdecoderoutputlen, **prune_kw,
                     )
-                results = dec.decode(n_best=50 if ecfg.isbeamdump else 1)
-                if ecfg.isbeamdump:
-                    from ..tools.rescore import BeamHyp
-
-                    pool = results
-                    if ecfg.use_completed_hyp:
-                        # rescoring cfgs (--use_completed_hyp=true): dump
-                        # only EOS-completed hypotheses
-                        pool = [r for r in results if r.completed] or results
-                    dumped = []
-                    for r in pool:
-                        ws = ([word_dict.get_entry(w) for w in r.words if w >= 0]
-                              if word_dict else
-                              tokens_to_words(
-                                  ev.token_dict.map_indices(
-                                      [t for t in r.tokens
-                                       if 0 <= t < ev.n_classes - 2]),
-                                  ecfg.wordseparator, ecfg.usewordpiece))
-                        dumped.append(BeamHyp(sid, ws, r.am_score, r.lm_score))
-                    with lock:
-                        beam_dump[sid] = dumped
-                res = results[0]
-                emitted = [w for w in res.words if w >= 0]
-                if word_dict and emitted:
-                    hyp_w = [word_dict.get_entry(w) for w in emitted]
-                else:
-                    # s2s tokens are final symbols: no CTC dedup/blank rules
-                    hyp_w = tokens_to_words(
-                        ev.token_dict.map_indices(
-                            [t for t in res.tokens if 0 <= t < ev.n_classes - 2]
-                        ),
-                        ecfg.wordseparator, ecfg.usewordpiece,
-                    )
-                ref_w = tokens_to_words(
-                    ev.token_dict.map_indices(ref_toks), ecfg.wordseparator,
-                    ecfg.usewordpiece,
-                )
-                with lock:
-                    meters.wrd_edit.add(ref_w, hyp_w)
-                    meters.tkn_edit.add(ref_toks, [t for t in res.tokens if t >= 0])
-                    sclite_rows.append((sid, ref_w, hyp_w))
-                    if ecfg.show:
-                        print(f"|T|: {' '.join(ref_w)}")
-                        print(f"|P|: {' '.join(hyp_w)}")
+                results = dec.decode(n_best=s2s_nbest)
+                handle_s2s(sid, ref_toks, results)
                 continue
             if ecfg.smoothingtemperature != 1.0 and ecfg.smoothingtemperature > 0:
                 em = em / ecfg.smoothingtemperature
