@@ -124,8 +124,19 @@ class Soak:
 
     # ------------------------------------------------------------------
     def _train_flags(self, runname, batch, lr, iters, report):
-        arch = ("/root/reference/recipes/streaming_convnets/librispeech/"
-                "am_500ms_future_context.arch")
+        # flagship arch minus its SAUG line: SpecAugment's 2x100-frame
+        # time masks (p=1.0) delete ~30% of the letters of a synthetic
+        # tone utterance — unrecoverable content, i.e. pure label noise on
+        # this corpus (measured: dev-TER plateaued ~75 with SAUG, see
+        # RESULTS.json trajectory notes). Real-speech recipes keep it.
+        ref_arch = ("/root/reference/recipes/streaming_convnets/librispeech/"
+                    "am_500ms_future_context.arch")
+        arch = os.path.join(self.root, "am_500ms_nosaug.arch")
+        if not os.path.exists(arch):
+            with open(ref_arch) as f, open(arch, "w") as g:
+                for line in f:
+                    if not line.startswith("SAUG"):
+                        g.write(line)
         if self.fast:
             # tiny but STREAMABLE (C2/TDS/LN only, converter-compatible)
             arch = os.path.join(self.root, "fast.arch")
@@ -270,12 +281,16 @@ class Soak:
 
     def phase_b128(self):
         b, iters = (8, 30) if self.fast else (128, 5000)
-        self._train_regime("b128", b, 0.8 if not self.fast else 0.4,
+        # lr: the first run at 0.8 oscillated (dev-TER 71 -> 80 between
+        # reports); 0.2 follows the probe-measured fast-descent regime
+        self._train_regime("b128", b, 0.2 if not self.fast else 0.4,
                            iters, iters // (3 if self.fast else 12), kill_at=iters // 3)
 
     def phase_b32(self):
         b, iters = (4, 40) if self.fast else (32, 20000)
-        self._train_regime("b32", b, 0.2 if not self.fast else 0.4,
+        # linear batch-size LR scaling from the B=128 regime (VERDICT r3
+        # weak #4: settle bench-batch vs recipe-batch convergence)
+        self._train_regime("b32", b, 0.05 if not self.fast else 0.4,
                            iters, iters // (2 if self.fast else 12))
 
     # ------------------------------------------------------------------

@@ -314,14 +314,10 @@ def train_counts_arpa(
         w = np.lib.stride_tricks.sliding_window_view(flat, n)
         s0 = sid[: N - n + 1]
         s1 = sid[n - 1:]
+        # windows must stay within one sentence; <s>/</s> placement is
+        # then automatically valid (<s> only ever first, </s> only last)
         valid = s0 == s1
-        # drop <s>-only / </s>-starting degenerate windows:
-        if n == 1:
-            grams = w[valid]
-        else:
-            # exclude windows where </s> appears before the last slot or
-            # <s> appears after the first (can't happen within a sentence)
-            grams = w[valid]
+        grams = w[valid]
         uq, cnt = pack(grams)
         if min_count > 1 and n == order:
             keep = cnt >= min_count
