@@ -99,6 +99,8 @@ def main():
         metric = "train_throughput_conformer_ctc_330M"
     elif which == "tds_s2s":
         return s2s_bench()
+    elif which == "transformer_s2s":
+        return s2s_bench(transformer=True)
     else:
         model = _build_model(n_feat, n_label)
         metric = "train_throughput_tds_ctc_115M"
@@ -192,11 +194,17 @@ def main():
     )
 
 
-def s2s_bench():
+def s2s_bench(transformer=False):
     """seq2seq_tds family: TDS encoder (sota/2019 am_tds_s2s.arch,
     encoderdim 512) + GRU attention-decoder criterion trained
     decoder-in-the-loop via lax.scan (VERDICT r2 weak #2: scan-heavy,
-    previously unmeasured)."""
+    previously unmeasured).
+
+    transformer=True: the sota/2019 transformer_s2s family instead —
+    conv+GLU frontend + 24x TR-768 encoder with the 6-layer transformer
+    criterion (KV-cache pytree decode path) per
+    recipes/sota/2019/librispeech/train_am_transformer_s2s.cfg
+    (VERDICT r3 weak #7: previously untimed)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -207,25 +215,37 @@ def s2s_bench():
     from wav2letter_tpu.features import FeatureParams, Featurizer
     from wav2letter_tpu.models.arch import build_arch_module
 
-    n_feat, n_label, enc_dim = 80, 9998, 512
-    arch = "/root/reference/recipes/sota/2019/am_arch/am_tds_s2s.arch"
-    # the arch hard-codes L 1440 1024 = 2x encoderdim (keyvalue split)
-    model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
-    cfg = Config()
-    # BENCH_TF=100 measures the pure-teacher-forcing scan (out-projection
-    # hoisted to one batched GEMM); 99 is the recipe's scheduled sampling
+    n_feat, n_label = 80, 9998
     tf_pct = float(os.environ.get("BENCH_TF", "99"))
-    cfg.update(dict(
-        criterion="seq2seq", attention="keyvalue", encoderdim=enc_dim,
-        eostoken=True, labelsmooth=0.05, pctteacherforcing=tf_pct,
-        maxdecoderoutputlen=120, attnWindow="softPretrain", softwstd=4.0,
-        trainWithWindow=True, pretrainWindow=3,
-    ))
+    cfg = Config()
+    if transformer:
+        enc_dim = 256
+        arch = "/root/reference/recipes/sota/2019/am_arch/am_transformer_s2s.arch"
+        model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
+        cfg.update(dict(
+            criterion="transformer", encoderdim=enc_dim, eostoken=True,
+            labelsmooth=0.05, pctteacherforcing=tf_pct,
+            am_decoder_tr_layers=6, am_decoder_tr_dropout=0.1,
+            am_decoder_tr_layerdrop=0.1, maxdecoderoutputlen=120,
+        ))
+    else:
+        enc_dim = 512
+        arch = "/root/reference/recipes/sota/2019/am_arch/am_tds_s2s.arch"
+        # the arch hard-codes L 1440 1024 = 2x encoderdim (keyvalue split)
+        model = build_arch_module(arch, n_feat, enc_dim, force_label_dim=False)
+        # BENCH_TF=100 measures the pure-teacher-forcing scan (out-projection
+        # hoisted to one batched GEMM); 99 is the recipe's scheduled sampling
+        cfg.update(dict(
+            criterion="seq2seq", attention="keyvalue", encoderdim=enc_dim,
+            eostoken=True, labelsmooth=0.05, pctteacherforcing=tf_pct,
+            maxdecoderoutputlen=120, attnWindow="softPretrain", softwstd=4.0,
+            trainWithWindow=True, pretrainWindow=3,
+        ))
     criterion = make_criterion(cfg, n_label)
     featurizer = Featurizer(FeatureParams(n_filterbanks=n_feat))
     tx = optax.sgd(1e-3, momentum=0.9)
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))  # measured sweet spot
+    B = int(os.environ.get("BENCH_BATCH", "32" if transformer else "128"))
     secs = float(os.environ.get("BENCH_SECS", "15"))
     U = int(os.environ.get("BENCH_TGT", "80"))  # ~wp tokens in 15 s speech
 
@@ -286,7 +306,8 @@ def s2s_bench():
     dt = time.perf_counter() - t0
     value = n_iters * B * secs / dt / jax.device_count()
     print(json.dumps({
-        "metric": "train_throughput_tds_s2s" + (
+        "metric": ("train_throughput_transformer_s2s" if transformer
+                   else "train_throughput_tds_s2s") + (
             "_tf100" if tf_pct >= 100 else ""),
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
