@@ -413,3 +413,33 @@ def test_kaldi_to_listfile(tmp_path):
     assert len(seg3) == sr
     ref = mono[sr:2 * sr]
     assert np.max(np.abs(seg3 - ref)) < 2e-4
+
+
+def test_prod_scale_artifacts(tmp_path):
+    """Production-scale artifact builder at toy size: lexicon with the
+    in-language vocab + distractors, counts-based 4-gram -> probing binary
+    and quantized trie, both mmap-loaded, manifest cached (idempotent)."""
+    from wav2letter_tpu.decoder.native import NativeLM
+    from wav2letter_tpu.tools.prod_scale import build_prod_artifacts
+
+    root = str(tmp_path / "prod")
+    p = build_prod_artifacts(root, n_lexicon=3000, lm_tokens=40_000,
+                             order=4, seed=0)
+    import json
+
+    man = json.load(open(p["manifest"]))
+    assert man["lexicon_words"] == 3000
+    assert man["counts"]["4"] > 1000
+    words = [l.split()[0] for l in open(p["lexicon"])]
+    assert len(words) == 3000 and len(set(words)) == 3000
+    for key in ("bin", "qt"):
+        lm = NativeLM(p[key], usr_vocab=words[:50])
+        assert lm.used_mmap == 1
+        s = lm.score_sentence_ids([0, 1, 2])
+        assert s < 0 and s > -100
+    # idempotent reuse (manifest match, no rebuild)
+    import os
+    mtime = os.path.getmtime(p["bin"])
+    p2 = build_prod_artifacts(root, n_lexicon=3000, lm_tokens=40_000,
+                              order=4, seed=0)
+    assert os.path.getmtime(p2["bin"]) == mtime
