@@ -83,15 +83,28 @@ class Evaluator:
 
         from flax import serialization
 
+        # abstract init: only the variable TREE STRUCTURE is needed to
+        # restore the checkpoint — eval_shape avoids materializing 115M
+        # random params on the (possibly remote) device
         dummy = jnp.zeros((1, 64, self.n_feat))
         dl = jnp.asarray([64], jnp.int32)
-        variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy, dl)
+        variables = jax.eval_shape(
+            lambda: self.model.init({"params": jax.random.PRNGKey(0)}, dummy, dl)
+        )
+        variables = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), variables
+        )
         params = serialization.from_state_dict(variables["params"], ckpt.model_params)
         state = {k: v for k, v in variables.items() if k != "params"}
         if ckpt.model_state:
             state = serialization.from_state_dict(state, ckpt.model_state)
-        self.variables = {"params": params, **state}
-        self.crit_params = ckpt.crit_params or {}
+        # pin restored params on device ONCE: checkpoint restore yields
+        # host numpy arrays, and passing those to a jitted forward
+        # re-transfers the whole model EVERY call (460 MB for the flagship
+        # — ~40 s/batch over a 20-35 MB/s tunneled chip, measured;
+        # invisible on local PCIe)
+        self.variables = jax.device_put({"params": params, **state})
+        self.crit_params = jax.device_put(ckpt.crit_params or {})
         self.transitions = None
         if cfg.criterion == "asg" and self.crit_params:
             self.transitions = jnp.asarray(self.crit_params["transitions"])
