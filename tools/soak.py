@@ -48,9 +48,12 @@ def log(msg):
 
 
 class Soak:
-    def __init__(self, root: str, fast: bool = False):
+    def __init__(self, root: str, fast: bool = False,
+                 iters_b128: int = 5000, iters_b32: int = 20000):
         self.root = os.path.abspath(root)
         self.fast = fast
+        self.iters_b128 = iters_b128
+        self.iters_b32 = iters_b32
         self.corpus = os.path.join(
             REPO, "_local", "corpora", "soak_fast" if fast else "soak20h")
         os.makedirs(self.root, exist_ok=True)
@@ -218,10 +221,13 @@ class Soak:
                 "and resume with `continue`)")
             p = self._spawn_train(["train", *flags], logf)
             logs = [os.path.join(rundir, f"{i:03d}_log") for i in (1, 2, 3)]
+            ckpt = os.path.join(rundir, "model_last.bin")
             killed = False
             while p.poll() is None:
                 time.sleep(5 if not self.fast else 1)
-                if self._last_update(logs) >= kill_at:
+                # kill only once a checkpoint exists: `continue` needs one
+                # (and the report-log line races the checkpoint write)
+                if self._last_update(logs) >= kill_at and os.path.exists(ckpt):
                     os.killpg(p.pid, signal.SIGKILL)
                     killed = True
                     log(f"train[{name}]: SIGKILLed at >= {kill_at} updates")
@@ -280,14 +286,14 @@ class Soak:
         return rows
 
     def phase_b128(self):
-        b, iters = (8, 30) if self.fast else (128, 5000)
+        b, iters = (8, 30) if self.fast else (128, self.iters_b128)
         # lr: the first run at 0.8 oscillated (dev-TER 71 -> 80 between
         # reports); 0.2 follows the probe-measured fast-descent regime
         self._train_regime("b128", b, 0.2 if not self.fast else 0.4,
                            iters, iters // (3 if self.fast else 12), kill_at=iters // 3)
 
     def phase_b32(self):
-        b, iters = (4, 40) if self.fast else (32, 20000)
+        b, iters = (4, 40) if self.fast else (32, self.iters_b32)
         # linear batch-size LR scaling from the B=128 regime (VERDICT r3
         # weak #4: settle bench-batch vs recipe-batch convergence)
         self._train_regime("b32", b, 0.05 if not self.fast else 0.4,
@@ -517,9 +523,14 @@ def main():
     ap.add_argument("--phase", default="all")
     ap.add_argument("--root", default=os.path.join(REPO, "_local", "soak"))
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--iters_b128", type=int, default=5000)
+    ap.add_argument("--iters_b32", type=int, default=20000)
     a = ap.parse_args()
-    s = Soak(a.root, fast=a.fast)
-    phases = (["corpus", "lm", "b128", "b32", "product", "report"]
+    s = Soak(a.root, fast=a.fast,
+             iters_b128=a.iters_b128, iters_b32=a.iters_b32)
+    # product (the trained-model evidence) runs before the b32 comparison
+    # regime so a wall-clock cutoff costs the less valuable phase
+    phases = (["corpus", "lm", "b128", "product", "b32", "report"]
               if a.phase == "all" else [a.phase])
     for p in phases:
         getattr(s, f"phase_{p}")()

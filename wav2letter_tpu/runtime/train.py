@@ -75,6 +75,14 @@ class Trainer:
         resume_ckpt: Optional[Checkpoint] = None
         if mode == "continue":
             last = find_last_checkpoint(self.rundir)
+            if not last:
+                # fail loudly: silently starting fresh here would discard
+                # the stored run config and train from scratch under the
+                # run's name (reference `continue` requires a checkpoint,
+                # Train.cpp:241-259)
+                raise FileNotFoundError(
+                    f"continue: no checkpoint (model_last.bin) under "
+                    f"{self.rundir!r}")
             if last:
                 resume_ckpt = load_checkpoint(last)
                 stored = Config.deserialize(resume_ckpt.config)
