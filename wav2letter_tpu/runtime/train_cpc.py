@@ -94,9 +94,14 @@ class CPCTrainer:
             from .checkpoint import find_last_checkpoint, load_checkpoint
 
             last = find_last_checkpoint(self.rundir)
-            if last:
-                self._resume = load_checkpoint(last)
-                self.updates = self._resume.updates
+            if not last:
+                # same fail-loud contract as Trainer: a `continue` with no
+                # checkpoint must not silently train from scratch
+                raise FileNotFoundError(
+                    f"continue: no checkpoint (model_last.bin) under "
+                    f"{self.rundir!r}")
+            self._resume = load_checkpoint(last)
+            self.updates = self._resume.updates
         if self.rundir and jax.process_index() == 0:
             os.makedirs(self.rundir, exist_ok=True)
 
