@@ -126,7 +126,8 @@ class Soak:
         self.mark("lm")
 
     # ------------------------------------------------------------------
-    def _train_flags(self, runname, batch, lr, iters, report):
+    def _train_flags(self, runname, batch, lr, iters, report,
+                     lr_decay=0, lr_decay_step=1000000):
         # flagship arch minus its SAUG line: SpecAugment's 2x100-frame
         # time masks (p=1.0) delete ~30% of the letters of a synthetic
         # tone utterance — unrecoverable content, i.e. pure label noise on
@@ -162,9 +163,10 @@ class Soak:
             "--sqnorm=true", "--nthread=4",
             f"--iter={iters}", f"--reportiters={report}",
             "--warmup=300", "--pcttraineval=1",
-            # epoch-based halving kicks in for the final third of the run
-            # (reference --lr_decay regime, streaming_convnets train cfg)
-            "--lr_decay=60", "--lr_decay_step=20",
+            # epoch-based halving for the final stretch of the run
+            # (reference --lr_decay regime, streaming_convnets train cfg);
+            # thresholds are per-regime: epochs/iter depends on batch size
+            f"--lr_decay={lr_decay}", f"--lr_decay_step={lr_decay_step}",
             "--compute_dtype=bfloat16", "--seed=11",
             # coarse buckets: each distinct padded shape costs a full remote
             # XLA compile of the train step (~2.5 min on the tunneled chip)
@@ -209,12 +211,14 @@ class Soak:
                     best = max(best, int(m.group(1)))
         return best
 
-    def _train_regime(self, name, batch, lr, iters, report, kill_at=None):
+    def _train_regime(self, name, batch, lr, iters, report, kill_at=None,
+                      lr_decay=0, lr_decay_step=1000000):
         if self.done(f"train_{name}"):
             return
         rundir = os.path.join(self.root, name)
         logf = os.path.join(self.root, f"{name}.console")
-        flags = self._train_flags(name, batch, lr, iters, report)
+        flags = self._train_flags(name, batch, lr, iters, report,
+                                  lr_decay, lr_decay_step)
         t0 = time.time()
         if kill_at:
             log(f"train[{name}]: start (will SIGKILL at ~{kill_at} updates "
@@ -289,15 +293,24 @@ class Soak:
         b, iters = (8, 30) if self.fast else (128, self.iters_b128)
         # lr: the first run at 0.8 oscillated (dev-TER 71 -> 80 between
         # reports); 0.2 follows the probe-measured fast-descent regime
+        # ~78 updates/epoch (9947 utts / 128): halving engages for the
+        # final ~40% of the run (3 halvings by the end)
+        ep = max(1, iters * b // 9947)
         self._train_regime("b128", b, 0.2 if not self.fast else 0.4,
-                           iters, iters // (3 if self.fast else 12), kill_at=iters // 3)
+                           iters, iters // (3 if self.fast else 12),
+                           kill_at=iters // 3,
+                           lr_decay=max(1, int(ep * 0.58)),
+                           lr_decay_step=max(1, int(ep * 0.16)))
 
     def phase_b32(self):
         b, iters = (4, 40) if self.fast else (32, self.iters_b32)
         # linear batch-size LR scaling from the B=128 regime (VERDICT r3
         # weak #4: settle bench-batch vs recipe-batch convergence)
+        ep = max(1, iters * b // 9947)
         self._train_regime("b32", b, 0.05 if not self.fast else 0.4,
-                           iters, iters // (2 if self.fast else 12))
+                           iters, iters // (2 if self.fast else 12),
+                           lr_decay=max(1, int(ep * 0.58)),
+                           lr_decay_step=max(1, int(ep * 0.16)))
 
     # ------------------------------------------------------------------
     def _run_cli(self, script, flags, tag, timeout=7200):
