@@ -539,6 +539,10 @@ def main():
     ap.add_argument("--iters_b128", type=int, default=5000)
     ap.add_argument("--iters_b32", type=int, default=20000)
     a = ap.parse_args()
+    if a.fast:
+        # the driver itself runs in-process JAX (streaming eval): keep the
+        # smoke run off the real chip, like its train/decode subprocesses
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     s = Soak(a.root, fast=a.fast,
              iters_b128=a.iters_b128, iters_b32=a.iters_b32)
     # product (the trained-model evidence) runs before the b32 comparison
