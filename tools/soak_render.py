@@ -1,0 +1,98 @@
+"""Render the convergence soak's RESULTS.json into the BENCH.md markdown
+tables (training trajectory, decode-vs-viterbi, lmweight sweep, streaming
+parity). Run after tools/soak.py completes:
+
+    python tools/soak_render.py [--root _local/soak]
+
+Prints markdown to stdout; paste into BENCH.md's round-4 section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def render(results: dict) -> str:
+    out = []
+    c = results.get("corpus", {})
+    lm = results.get("lm", {})
+    out.append(
+        f"Corpus: {c.get('train_hours', '?')} h synthetic homophone audio "
+        f"({c.get('vocab_size', '?')}-word vocab, {c.get('n_pairs', '?')} "
+        f"acoustically-identical homophone pairs resolvable only from LM "
+        f"context); 3-gram LM: {lm.get('arpa_mb', '?')} MB ARPA / "
+        f"{lm.get('bin_mb', '?')} MB binary.\n")
+
+    for run in ("train_b128", "train_b32"):
+        t = results.get(run)
+        if not t:
+            continue
+        out.append(
+            f"**{run}** — batch {t['batch']}, lr {t['lr']}, {t['iters']} "
+            f"updates planned, wall {t['wall_s']:.0f} s, "
+            f"{t['checkpoints']} checkpoints"
+            + (", mid-run SIGKILL + `continue` resume"
+               if t.get("killed_and_resumed") else "") + ":\n")
+        out.append("| updates | lr | loss | dev-WER % | run |")
+        out.append("|---|---|---|---|---|")
+        rows = t.get("trajectory", [])
+        # subsample to <= 14 rows, always keeping first/last
+        keep = rows if len(rows) <= 14 else (
+            [rows[0]] + rows[1:-1][:: max(1, (len(rows) - 2) // 12)] + [rows[-1]])
+        for r in keep:
+            lr = f"{r['lr']:.3f}" if r.get("lr") is not None else "-"
+            wer = f"{r['dev_wer']:.2f}" if r.get("dev_wer") is not None else "-"
+            out.append(f"| {r['updates']} | {lr} | {r['loss']:.4f} | {wer} "
+                       f"| {r['run']:03d} |")
+        out.append("")
+
+    p = results.get("product")
+    if p:
+        out.append("**Product chain on the trained B=128 model** (all via "
+                   "the real CLI binaries):\n")
+        out.append("| stage | test WER % |")
+        out.append("|---|---|")
+        out.append(f"| viterbi (`cli/test.py`) | {p.get('viterbi_test_wer')} |")
+        out.append(f"| lexicon beam, no LM | {p.get('beam_nolm_test_wer')} |")
+        out.append(f"| beam + 3-gram LM @ lmweight="
+                   f"{p.get('best_lmweight')} (dev-tuned) | "
+                   f"{p.get('beam_lm_test_wer')} |")
+        r = p.get("rescore", {})
+        if r:
+            out.append(f"| beam-dump rescored (grid weights {r.get('grid_weights')}) "
+                       f"| {r.get('rescored_wer')} (oracle {r.get('oracle_wer')}, "
+                       f"{r.get('n_beams')} dumps) |")
+        out.append("")
+        sw = p.get("lmweight_sweep_dev") or {}
+        if sw:
+            ws = sorted(sw, key=float)
+            out.append("`--lmweight` sweep on dev (emission cache reused "
+                       "across weights):\n")
+            out.append("| " + " | ".join(f"lmw {w}" for w in ws) + " |")
+            out.append("|" + "---|" * len(ws))
+            out.append("| " + " | ".join(f"{sw[w]:.2f}" for w in ws) + " |")
+            out.append("")
+        st = p.get("streaming", {})
+        if st:
+            out.append(
+                f"Streaming parity: convert → 500 ms-chunk online decode of "
+                f"{st.get('n_utts')} test utts = **{st.get('streaming_wer')}% "
+                f"WER** vs offline decode of the same utts = "
+                f"**{st.get('offline_wer')}%** (carry-state protocol exact).")
+    return "\n".join(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_local", "soak"))
+    a = ap.parse_args()
+    results = json.load(open(os.path.join(a.root, "RESULTS.json")))
+    print(render(results))
+
+
+if __name__ == "__main__":
+    main()
