@@ -34,9 +34,9 @@ def main():
     from wav2letter_tpu.data.audio import load_audio
     from wav2letter_tpu.data.dictionary import Dictionary, Lexicon, make_word_dict
     from wav2letter_tpu.decoder import (
-        ArpaLM,
         CriterionType,
         DecoderOptions,
+        KenLM,
         LexiconDecoder,
         LexiconFreeDecoder,
         SmearingMode,

@@ -480,23 +480,28 @@ class Soak:
                 word_dict.get_index("<unk>") if word_dict.contains("<unk>")
                 else -1, n_tokens)
             dec.decode_begin()
-            fstate = sf_state = None
             sf = StreamingFeaturizer(featp)
             fstate = sf.start()
             states = net.start(1)
+            # reference online pattern (AudioToWords.cpp:64-105): per chunk,
+            # consume the best hypothesis' words, THEN prune — the transcript
+            # is the concatenation of per-chunk partials
+            hyp_words: list = []
             for off in range(0, len(audio), chunk):
                 fstate, feats = sf.run(fstate, audio[off:off + chunk])
                 if len(feats):
                     states, y = net.run(states, feats[None, :, :, None])
                     if y.shape[1]:
                         dec.decode_step(np.asarray(y)[0, :, 0, :])
+                        hyp_words += [w for w in dec.get_results(1)[0].words
+                                      if w >= 0]
                         dec.prune(0)
             states, y = net.finish(states)
-            if y.shape[1]:
+            if y is not None and y.shape[1]:
                 dec.decode_step(np.asarray(y)[0, :, 0, :])
             dec.decode_end()
-            res = dec.get_results(1)[0]
-            hyp = [word_dict.get_entry(w) for w in res.words if w >= 0]
+            hyp_words += [w for w in dec.get_results(1)[0].words if w >= 0]
+            hyp = [word_dict.get_entry(w) for w in hyp_words]
             ref = s.transcript.split()
             errs += edit_distance(ref, hyp)
             tot += len(ref)

@@ -266,102 +266,127 @@ class LexiconDecoder(_BeamDecoderBase):
         return float(self.trans[to_tok, from_tok])
 
     def _step_frame(self, hyps: List[_Hyp], frame: np.ndarray) -> List[_Hyp]:
+        """Reference ``LexiconDecoder::decodeStep``. Lexicon spellings are
+        '|'-terminated, so word labels live on sil-children: a word is
+        emitted BY traversing that child (sil never bare-resets to root).
+        Merge key = (lm_state, node, token, prev_blank) — the reference
+        ``compareNoScoreStates`` fields."""
         opts = self.opts
         cands: Dict = {}
         best = NEG_INF
-        top = self._top_tokens(frame)
+        first = self.t == 0  # transitions gated off on the first frame
+        n = frame.shape[0]
+        allow = None
+        if opts.beam_size_token < n:
+            allow = set(int(t) for t in self._top_tokens(frame))
+        root = self.trie.root
         for hyp in hyps:
-            for tok in top:
-                tok = int(tok)
+            node = hyp.node
+            at_root = node is root
+            # smear baseline: 0 at root (reference lexMaxScore)
+            lex_max = 0.0 if at_root else node.max_score
+            # --- (1) trie children: new token emissions ---
+            for tok, child in node.children.items():
+                if allow is not None and tok not in allow:
+                    continue
                 am = float(frame[tok])
-                base = hyp.score + am
-                # --- blank (CTC only): stay, mark prev_blank ---
-                if self.ctc and tok == self.blank:
-                    nh = _Hyp(
-                        base, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
-                        hyp.node, hyp, tok, -1, True,
-                    )
-                    self._add_cand(cands, (hyp.lm_state, hyp.node, True), nh)
-                    best = max(best, nh.score)
-                    continue
-                # --- repeated token (collapse) ---
-                if tok == hyp.token and (not self.ctc or not hyp.prev_blank):
-                    sc = base + self._trans_score(tok, hyp.token)
-                    nh = _Hyp(
-                        sc, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
-                        hyp.node, hyp, tok, -1, False,
-                    )
-                    self._add_cand(cands, (hyp.lm_state, hyp.node, False), nh)
-                    best = max(best, nh.score)
-                    continue
-                # --- silence: back to root + sil score ---
-                if tok == self.sil and self.sil != self.blank:
-                    sc = base + opts.sil_score + self._trans_score(tok, hyp.token)
-                    nh = _Hyp(
-                        sc, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
-                        self.trie.root, hyp, tok, -1, False,
-                    )
-                    self._add_cand(cands, (hyp.lm_state, self.trie.root, False), nh)
-                    best = max(best, nh.score)
-                    continue
-                # --- descend lexicon trie ---
-                child = hyp.node.children.get(tok)
-                if child is None:
-                    continue
-                sc = base + self._trans_score(tok, hyp.token)
-                lm_sc = hyp.lm_score
-                lm_state = hyp.lm_state
-                if opts.lm_weight != 0.0 and not self.is_token_lm:
-                    # smeared upper bound delta
-                    delta = child.max_score - hyp.node.max_score
-                    sc += opts.lm_weight * delta
-                    lm_sc += delta
+                sc = hyp.score + am
+                if not first:
+                    sc += self._trans_score(tok, hyp.token)
+                if tok == self.sil:
+                    sc += opts.sil_score
+                tl_state, tl_s = hyp.lm_state, 0.0
                 if self.is_token_lm and opts.lm_weight != 0.0:
-                    lm_state, s = self.lm.score(lm_state, tok)
-                    sc += opts.lm_weight * s
-                    lm_sc += s
-                # word endings at this node: emit words
-                for wi, w in enumerate(child.labels):
-                    wsc = sc
-                    wlm_state = lm_state
-                    wlm = lm_sc
-                    if not self.is_token_lm and opts.lm_weight != 0.0:
-                        wlm_state, s = self.lm.score(hyp.lm_state, w)
-                        # replace the accumulated smear (telescoped:
-                        # child.max_score - root.max_score lives in sc) with
-                        # the true LM score — flashlight subtracts the
-                        # child's absolute smeared score here
-                        wsc = wsc + opts.lm_weight * (s - child.max_score)
-                        wlm = hyp.lm_score + s
-                    if w == self.unk_word:
-                        wsc += opts.unk_score
-                        if opts.unk_score == NEG_INF:
-                            continue
-                    wsc += opts.word_score
-                    nh = _Hyp(
-                        wsc, hyp.am_score + am, wlm, wlm_state,
-                        self.trie.root, hyp, tok, w, False,
-                    )
-                    self._add_cand(cands, (wlm_state, self.trie.root, False), nh)
+                    tl_state, tl_s = self.lm.score(hyp.lm_state, tok)
+                # eat-up a new token (CTC: repeat without blank = same
+                # emission, handled by (2))
+                if (not self.ctc or hyp.prev_blank or tok != hyp.token) and child.children:
+                    esc, elm, est = sc, hyp.lm_score, hyp.lm_state
+                    if opts.lm_weight != 0.0:
+                        if self.is_token_lm:
+                            esc += opts.lm_weight * tl_s
+                            elm += tl_s
+                            est = tl_state
+                        else:
+                            delta = child.max_score - lex_max
+                            esc += opts.lm_weight * delta
+                            elm += delta
+                    nh = _Hyp(esc, hyp.am_score + am, elm, est, child, hyp,
+                              tok, -1, False)
+                    self._add_cand(cands, (est, child, tok, False), nh)
                     best = max(best, nh.score)
-                # continue inside the word
-                if child.children:
-                    nh = _Hyp(
-                        sc, hyp.am_score + am, lm_sc, lm_state,
-                        child, hyp, tok, -1, False,
-                    )
-                    self._add_cand(cands, (lm_state, child, False), nh)
+                # true-word emissions at labeled children
+                for w in child.labels:
+                    # single-token-spelling guard (reference): avoid
+                    # re-emitting a 1-token word on consecutive frames
+                    if at_root and hyp.token == tok:
+                        continue
+                    bonus = opts.unk_score if w == self.unk_word else opts.word_score
+                    if bonus == NEG_INF:
+                        continue
+                    wsc, wlm, wst = sc + bonus, hyp.lm_score, hyp.lm_state
+                    if opts.lm_weight != 0.0:
+                        if self.is_token_lm:
+                            wsc += opts.lm_weight * tl_s
+                            wlm += tl_s
+                            wst = tl_state
+                        else:
+                            wst, s = self.lm.score(hyp.lm_state, w)
+                            wsc += opts.lm_weight * (s - lex_max)
+                            # lm_score telescopes clean: the in-word smear
+                            # deltas accumulated in hyp.lm_score sum to
+                            # lex_max and are replaced by the true word score
+                            wlm = hyp.lm_score + s - lex_max
+                    nh = _Hyp(wsc, hyp.am_score + am, wlm, wst, root, hyp,
+                              tok, w, False)
+                    self._add_cand(cands, (wst, root, tok, False), nh)
                     best = max(best, nh.score)
+                # unknown-word emission at label-less nodes
+                if (not child.labels and opts.unk_score > NEG_INF
+                        and self.unk_word >= 0 and not self.is_token_lm):
+                    wsc, wlm, wst = sc + opts.unk_score, hyp.lm_score, hyp.lm_state
+                    if opts.lm_weight != 0.0:
+                        wst, s = self.lm.score(hyp.lm_state, self.unk_word)
+                        wsc += opts.lm_weight * (s - lex_max)
+                        wlm = hyp.lm_score + s - lex_max
+                    nh = _Hyp(wsc, hyp.am_score + am, wlm, wst, root, hyp,
+                              tok, self.unk_word, False)
+                    self._add_cand(cands, (wst, root, tok, False), nh)
+                    best = max(best, nh.score)
+            # --- (2) same lexicon node: sil at root, else token repeat ---
+            if not self.ctc or not hyp.prev_blank or at_root:
+                tok2 = self.sil if at_root else hyp.token
+                if tok2 >= 0 and tok2 != self.blank:
+                    am = float(frame[tok2])
+                    sc = hyp.score + am
+                    if not first:
+                        sc += self._trans_score(tok2, hyp.token)
+                    if tok2 == self.sil:
+                        sc += opts.sil_score
+                    nh = _Hyp(sc, hyp.am_score + am, hyp.lm_score,
+                              hyp.lm_state, node, hyp, tok2, -1, False)
+                    self._add_cand(cands, (hyp.lm_state, node, tok2, False), nh)
+                    best = max(best, nh.score)
+            # --- (3) CTC blank: stay, mark prev_blank ---
+            if self.ctc and self.blank >= 0:
+                am = float(frame[self.blank])
+                nh = _Hyp(hyp.score + am, hyp.am_score + am, hyp.lm_score,
+                          hyp.lm_state, node, hyp, self.blank, -1, True)
+                self._add_cand(cands, (hyp.lm_state, node, self.blank, True), nh)
+                best = max(best, nh.score)
         return self._merge_and_prune(cands, best)
 
     def _finish(self, hyps: List[_Hyp]) -> List[_Hyp]:
+        # reference "hasNiceEnding": if any hyp ends at the trie root
+        # (complete word), mid-word finals are dropped
+        nice = any(h.node is self.trie.root for h in hyps)
         out = []
         for hyp in hyps:
+            if nice and hyp.node is not self.trie.root:
+                continue
             sc = hyp.score
             lm_sc = hyp.lm_score
             st = hyp.lm_state
-            # unfinished word: discard in-word score? reference keeps hyp at
-            # node != root without emitting; we simply don't emit the word.
             if self.opts.lm_weight != 0.0 and not self.is_token_lm:
                 st, s = self.lm.finish(st)
                 sc += self.opts.lm_weight * s
@@ -402,6 +427,7 @@ class LexiconFreeDecoder(_BeamDecoderBase):
         opts = self.opts
         cands: Dict = {}
         best = NEG_INF
+        first = self.t == 0  # transitions gated off on the first frame
         top = self._top_tokens(frame)
         for hyp in hyps:
             for tok in top:
@@ -415,13 +441,20 @@ class LexiconFreeDecoder(_BeamDecoderBase):
                     best = max(best, nh.score)
                     continue
                 if tok == hyp.token and (not self.ctc or not hyp.prev_blank):
-                    sc = base + self._trans_score(tok, hyp.token)
+                    # same emission: no LM, no new token
+                    sc = base
+                    if not first:
+                        sc += self._trans_score(tok, hyp.token)
+                    if tok == self.sil:
+                        sc += opts.sil_score
                     nh = _Hyp(sc, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
                               None, hyp, tok, -1, False)
                     self._add_cand(cands, (hyp.lm_state, tok, False), nh)
                     best = max(best, nh.score)
                     continue
-                sc = base + self._trans_score(tok, hyp.token)
+                sc = base
+                if not first:
+                    sc += self._trans_score(tok, hyp.token)
                 st = hyp.lm_state
                 lm_sc = hyp.lm_score
                 if opts.lm_weight != 0.0:

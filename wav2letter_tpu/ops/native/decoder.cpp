@@ -1225,26 +1225,34 @@ struct Decoder {
     return lm->score(h.data(), (int)h.size(), lm->eos_id);
   }
 
+  // transitions are gated off on the very first decoded frame (reference
+  // `nDecodedFrames_ + t > 0` guard: the initial sil token is synthetic)
+  bool first_step = true;
+
   void begin() {
     frames.clear();
     frames.emplace_back();
+    first_step = true;
+    ended = false;
     Hyp h{0.0, 0.0, 0.0, lm_start_state(), trie ? 0 : -1, -1, sil, -1, false};
     frames.back().push_back(h);
   }
 
-  // candidate merging: key = (lm_state, node, prev_blank)
+  // candidate merging: key = (lm_state, node, token, prev_blank) — the
+  // reference LexiconDecoderState::compareNoScoreStates fields
   struct KeyHash {
-    size_t operator()(const std::tuple<int, int, bool>& k) const {
-      auto [a, b, c] = k;
-      return std::hash<int64_t>()(((int64_t)a << 24) ^ ((int64_t)b << 1) ^ c);
+    size_t operator()(const std::tuple<int, int, int, bool>& k) const {
+      auto [a, b, t, c] = k;
+      return std::hash<int64_t>()(
+          (((int64_t)a * 1000003) ^ ((int64_t)b << 20) ^ ((int64_t)t << 1)) ^ c);
     }
   };
 
   void add_cand(
-      std::unordered_map<std::tuple<int, int, bool>, int, KeyHash>& keys,
+      std::unordered_map<std::tuple<int, int, int, bool>, int, KeyHash>& keys,
       std::vector<Hyp>& cands, const Hyp& h, double& best) {
     best = std::max(best, h.score);
-    auto k = std::make_tuple(h.lm_state, h.node, h.prev_blank);
+    auto k = std::make_tuple(h.lm_state, h.node, h.token, h.prev_blank);
     auto it = keys.find(k);
     if (it == keys.end()) {
       keys.emplace(k, (int)cands.size());
@@ -1321,96 +1329,176 @@ struct Decoder {
       top.resize(k);
     }
 
+    // beam_size_token membership mask — restricts NEW token emissions only
+    // (the same-node / blank paths bypass it, as in the reference)
+    std::vector<char> allow;
+    if (k < n_tokens) {
+      allow.assign(n_tokens, 0);
+      for (int t : top) allow[t] = 1;
+    }
+
     for (int pi = 0; pi < (int)prev.size(); pi++) {
       const Hyp& hyp = prev[pi];
-      for (int tok : top) {
-        double am = em[tok];
-        double base = hyp.score + am;
-        if (ctc && tok == blank) {
-          Hyp nh{base, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
-                 hyp.node, pi, tok, -1, true};
-          pend.push_back({nh, -1, 0.f, nh.lm_score});
-          continue;
-        }
-        if (tok == hyp.token && (!ctc || !hyp.prev_blank)) {
-          Hyp nh{base + trans(tok, hyp.token), hyp.am_score + am, hyp.lm_score,
-                 hyp.lm_state, hyp.node, pi, tok, -1, false};
-          pend.push_back({nh, -1, 0.f, nh.lm_score});
-          continue;
-        }
-        if (tok == sil && sil != blank && trie) {
-          Hyp nh{base + opts.sil_score + trans(tok, hyp.token),
-                 hyp.am_score + am, hyp.lm_score, hyp.lm_state, 0, pi, tok, -1,
-                 false};
-          pend.push_back({nh, -1, 0.f, nh.lm_score});
-          continue;
-        }
-        if (trie) {
-          const auto& nd = trie->nodes[hyp.node];
-          auto it = nd.children.find(tok);
-          if (it == nd.children.end()) continue;
-          int ci = it->second;
+      if (trie) {
+        // Reference LexiconDecoder::decodeStep. Lexicon spellings are
+        // '|'-terminated, so word labels live on sil-children and word
+        // emission happens BY traversing that child — sil is never a
+        // bare "reset to root" in lexicon mode.
+        const auto& nd = trie->nodes[hyp.node];
+        const bool at_root = hyp.node == 0;
+        // smear baseline: 0 at root (reference lexMaxScore)
+        const double lex_max = at_root ? 0.0 : (double)nd.max_score;
+
+        /* (1) trie children: new token emissions */
+        for (const auto& kv : nd.children) {
+          const int tok = kv.first;
+          if (!allow.empty() && !allow[tok]) continue;
+          const int ci = kv.second;
           const auto& child = trie->nodes[ci];
-          double sc = base + trans(tok, hyp.token);
-          double lm_sc = hyp.lm_score;
-          int lst = hyp.lm_state;
-          int tok_req = -1;
-          if (opts.lm_weight != 0.0 && !is_token_lm) {
-            double delta = child.max_score - nd.max_score;
-            sc += opts.lm_weight * delta;
-            lm_sc += delta;
-          }
-          if (opts.lm_weight != 0.0 && is_token_lm) {
+          const double am = em[tok];
+          double sc = hyp.score + am;
+          if (!first_step) sc += trans(tok, hyp.token);
+          if (tok == sil) sc += opts.sil_score;
+          // token-level LM scores the token itself once (isLmToken_)
+          int tl_state = hyp.lm_state;
+          double tl_s = 0.0;
+          int tl_req = -1;
+          if (is_token_lm && opts.lm_weight != 0.0) {
             int32_t wlm = map_usr(tok);
             if (deferred) {
-              tok_req = req_intern(lst, wlm);
-              lst = lm_next_state(lst, wlm);
+              tl_req = req_intern(hyp.lm_state, wlm);
+              tl_state = lm_next_state(hyp.lm_state, wlm);
             } else {
-              auto [st2, s] = lm_score(lst, tok);
-              lst = st2;
-              sc += opts.lm_weight * s;
-              lm_sc += s;
+              auto [st2, s] = lm_score(hyp.lm_state, tok);
+              tl_state = st2;
+              tl_s = s;
             }
           }
-          // word emissions
+          // eat-up a new token (CTC: same token without a blank between is
+          // the same emission — handled by (2), no trie advance)
+          if ((!ctc || hyp.prev_blank || tok != hyp.token) &&
+              !child.children.empty()) {
+            Hyp nh{sc, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
+                   ci, pi, tok, -1, false};
+            if (is_token_lm && opts.lm_weight != 0.0) {
+              nh.lm_state = tl_state;
+              nh.score += opts.lm_weight * tl_s;
+              nh.lm_score += tl_s;
+              pend.push_back({nh, tl_req, 0.f, hyp.lm_score});
+            } else {
+              if (opts.lm_weight != 0.0) {
+                double delta = (double)child.max_score - lex_max;
+                nh.score += opts.lm_weight * delta;
+                nh.lm_score += delta;
+              }
+              pend.push_back({nh, -1, 0.f, nh.lm_score});
+            }
+          }
+          // true-word emissions at labeled children: back to root, replace
+          // the accumulated smear (lex_max) with the real LM word score
           for (size_t wi = 0; wi < child.labels.size(); wi++) {
-            int w = child.labels[wi];
-            double wsc = sc;
-            double wlm = lm_sc;
-            int wst = lst;
-            int wreq = tok_req;
-            float wcorr = 0.f;
-            double wbase = lm_sc;
+            const int w = child.labels[wi];
+            // single-token-spelling guard (reference): a word whose whole
+            // spelling is one token must not re-emit on consecutive frames
+            if (at_root && hyp.token == tok) continue;
+            const double bonus =
+                (w == unk_word) ? opts.unk_score : opts.word_score;
+            if (bonus == kNegInf) continue;
+            Hyp nh{sc + bonus, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
+                   0, pi, tok, w, false};
             if (opts.lm_weight != 0.0 && !is_token_lm) {
+              // lm_score telescopes clean: the in-word smear deltas in
+              // hyp.lm_score sum to lex_max; replace with the true score
               int32_t wlm_id = map_usr(w);
               if (deferred) {
-                wreq = req_intern(hyp.lm_state, wlm_id);
-                wst = lm_next_state(hyp.lm_state, wlm_id);
-                wcorr = -child.max_score;
-                wbase = hyp.lm_score;
-              } else {
-                auto [st2, s] = lm_score(hyp.lm_state, w);
-                wst = st2;
-                wsc += opts.lm_weight * ((double)s - child.max_score);
-                wlm = hyp.lm_score + s;
-                wbase = wlm;
+                int wreq = req_intern(hyp.lm_state, wlm_id);
+                nh.lm_state = lm_next_state(hyp.lm_state, wlm_id);
+                pend.push_back(
+                    {nh, wreq, (float)(-lex_max), hyp.lm_score - lex_max});
+                continue;
               }
+              auto [st2, s] = lm_score(hyp.lm_state, w);
+              nh.lm_state = st2;
+              nh.score += opts.lm_weight * ((double)s - lex_max);
+              nh.lm_score = hyp.lm_score + s - lex_max;
+            } else if (opts.lm_weight != 0.0 && is_token_lm) {
+              nh.lm_state = tl_state;
+              nh.score += opts.lm_weight * tl_s;
+              nh.lm_score += tl_s;
+              pend.push_back({nh, tl_req, 0.f, hyp.lm_score});
+              continue;
             }
-            if (w == unk_word) {
-              if (opts.unk_score == kNegInf) continue;
-              wsc += opts.unk_score;
+            pend.push_back({nh, -1, 0.f, nh.lm_score});
+          }
+          // unknown-word emission at label-less nodes (reference: OOV
+          // prefixes may surface as <unk> when unkScore is finite)
+          if (child.labels.empty() && opts.unk_score > kNegInf &&
+              unk_word >= 0 && !is_token_lm) {
+            Hyp nh{sc + opts.unk_score, hyp.am_score + am, hyp.lm_score,
+                   hyp.lm_state, 0, pi, tok, unk_word, false};
+            if (opts.lm_weight != 0.0) {
+              int32_t wlm_id = map_usr(unk_word);
+              if (deferred) {
+                int wreq = req_intern(hyp.lm_state, wlm_id);
+                nh.lm_state = lm_next_state(hyp.lm_state, wlm_id);
+                pend.push_back(
+                    {nh, wreq, (float)(-lex_max), hyp.lm_score - lex_max});
+                continue;
+              }
+              auto [st2, s] = lm_score(hyp.lm_state, unk_word);
+              nh.lm_state = st2;
+              nh.score += opts.lm_weight * ((double)s - lex_max);
+              nh.lm_score = hyp.lm_score + s - lex_max;
             }
-            wsc += opts.word_score;
-            Hyp nh{wsc, hyp.am_score + am, wlm, wst, 0, pi, tok, w, false};
-            pend.push_back({nh, wreq, wcorr, wbase});
+            pend.push_back({nh, -1, 0.f, nh.lm_score});
           }
-          if (!child.children.empty()) {
-            Hyp nh{sc, hyp.am_score + am, lm_sc, lst, ci, pi, tok, -1, false};
-            pend.push_back({nh, tok_req, 0.f, lm_sc});
+        }
+
+        /* (2) same lexicon node: sil at root, else repeat of the last
+           token (CTC merge / ASG repeat) */
+        if (!ctc || !hyp.prev_blank || at_root) {
+          const int tok2 = at_root ? sil : hyp.token;
+          if (tok2 >= 0 && tok2 != blank) {
+            const double am = em[tok2];
+            double sc = hyp.score + am;
+            if (!first_step) sc += trans(tok2, hyp.token);
+            if (tok2 == sil) sc += opts.sil_score;
+            Hyp nh{sc, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
+                   hyp.node, pi, tok2, -1, false};
+            pend.push_back({nh, -1, 0.f, nh.lm_score});
           }
-        } else {
-          // lexicon-free: token-level LM
-          double sc = base + trans(tok, hyp.token);
+        }
+
+        /* (3) CTC blank: stay, mark prev_blank */
+        if (ctc && blank >= 0) {
+          const double am = em[blank];
+          Hyp nh{hyp.score + am, hyp.am_score + am, hyp.lm_score,
+                 hyp.lm_state, hyp.node, pi, blank, -1, true};
+          pend.push_back({nh, -1, 0.f, nh.lm_score});
+        }
+      } else {
+        // lexicon-free: token-level LM (reference LexiconFreeDecoder)
+        for (int tok : top) {
+          double am = em[tok];
+          double base = hyp.score + am;
+          if (ctc && tok == blank) {
+            Hyp nh{base, hyp.am_score + am, hyp.lm_score, hyp.lm_state,
+                   hyp.node, pi, tok, -1, true};
+            pend.push_back({nh, -1, 0.f, nh.lm_score});
+            continue;
+          }
+          if (tok == hyp.token && (!ctc || !hyp.prev_blank)) {
+            // same emission: no LM, no trie advance
+            double sc = base;
+            if (!first_step) sc += trans(tok, hyp.token);
+            if (tok == sil) sc += opts.sil_score;
+            Hyp nh{sc, hyp.am_score + am, hyp.lm_score,
+                   hyp.lm_state, hyp.node, pi, tok, -1, false};
+            pend.push_back({nh, -1, 0.f, nh.lm_score});
+            continue;
+          }
+          double sc = base;
+          if (!first_step) sc += trans(tok, hyp.token);
           double lm_sc = hyp.lm_score;
           int lst = hyp.lm_state;
           int req = -1;
@@ -1446,7 +1534,7 @@ struct Decoder {
                    "(use the collect/apply API with a deferred LM)\n",
                    reqs.size());
     }
-    std::unordered_map<std::tuple<int, int, bool>, int, KeyHash> keys;
+    std::unordered_map<std::tuple<int, int, int, bool>, int, KeyHash> keys;
     std::vector<Hyp> cands;
     cands.reserve(pend.size());
     double best = kNegInf;
@@ -1475,6 +1563,7 @@ struct Decoder {
                 [](const Hyp& a, const Hyp& b) { return a.score > b.score; });
     }
     frames.push_back(std::move(kept));
+    first_step = false;
   }
 
   void step_frame(const float* em) {
@@ -1489,6 +1578,20 @@ struct Decoder {
     reqs.clear();
     req_idx.clear();
     end_pend = frames.back();  // copy
+    // reference "hasNiceEnding": if any hyp finishes at the trie root
+    // (complete word), mid-word finals are dropped
+    if (trie) {
+      bool nice = false;
+      for (const auto& h : end_pend)
+        if (h.node == 0) { nice = true; break; }
+      if (nice) {
+        std::vector<Hyp> kept;
+        kept.reserve(end_pend.size());
+        for (const auto& h : end_pend)
+          if (h.node == 0) kept.push_back(h);
+        end_pend = std::move(kept);
+      }
+    }
     end_reqs.assign(end_pend.size(), -1);
     if (lm && opts.lm_weight != 0.0 && lm->eos_id >= 0 && deferred) {
       for (size_t i = 0; i < end_pend.size(); i++)
@@ -1517,7 +1620,14 @@ struct Decoder {
     end_apply(nullptr);
   }
 
+  // true once end() pushed the final marker frame (whose hyps duplicate the
+  // last real frame); backtrack must skip it, but must NOT skip the newest
+  // real frame when called mid-stream (online getBestHypothesis before
+  // prune — reference AudioToWords.cpp:64-105 consumes words per chunk)
+  bool ended = false;
+
   void end_finish(std::vector<Hyp> fin) {
+    ended = true;
     std::sort(fin.begin(), fin.end(),
               [](const Hyp& a, const Hyp& b) { return a.score > b.score; });
     // store as a final frame whose parents reference the last step frame
@@ -1559,17 +1669,24 @@ struct Decoder {
     frames.push_back(std::move(fin));
   }
 
-  // backtrack hypothesis hi at the final frame into tokens/words
+  // backtrack hypothesis hi at the newest frame into tokens/words
   void backtrack(int hi, std::vector<int>& tokens, std::vector<int>& words) const {
     tokens.clear();
     words.clear();
-    int T = (int)frames.size() - 1;  // final frame index
+    int T = (int)frames.size() - 1;  // newest frame index
     if (T < 1) return;
-    const Hyp* h = &frames[T][hi];
-    // final frame hyp's parent = index in frame T-1 of the same hyp
-    int fi = h->parent;
-    if (fi < 0) return;
-    for (int t = T - 1; t >= 1; t--) {
+    int fi, t0;
+    if (ended) {
+      // final marker frame: its hyp's parent = index in frame T-1 of the
+      // same (real) hyp; the marker's own token is synthetic
+      fi = frames[T][hi].parent;
+      t0 = T - 1;
+      if (fi < 0) return;
+    } else {
+      fi = hi;
+      t0 = T;
+    }
+    for (int t = t0; t >= 1; t--) {
       const Hyp& cur = frames[t][fi];
       tokens.push_back(cur.token);
       words.push_back(cur.word);
