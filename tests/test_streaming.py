@@ -178,3 +178,48 @@ def test_streaming_ac_equals_batch():
     stream_out = np.concatenate(outs, axis=1)[0, :, 0, :]
     assert stream_out.shape == batch_out.shape
     np.testing.assert_allclose(stream_out, batch_out, rtol=1e-4, atol=1e-4)
+
+
+FLAGSHIP_NFEAT = 80
+FLAGSHIP_NLABEL = 30
+
+
+@pytest.fixture(scope="module")
+def flagship_arch_lines():
+    """The repo's streaming-convnets flagship: 4 chained future-context
+    PD/C2 subsampling stages (stride 8 overall) + 8 asymmetric TDS blocks at
+    80 filterbanks — the exact structure class whose streaming eval failed
+    in the round-4 soak (reference equivalent:
+    am_500ms_future_context.arch + StreamingTDSModelConverter.cpp:208-334)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "recipes/streaming_convnets/network.arch")
+    lines = [l.strip() for l in open(path)
+             if l.strip() and not l.strip().startswith("#")
+             and not l.strip().startswith("SAUG")]
+    return [l.replace("NFEAT", str(FLAGSHIP_NFEAT))
+            .replace("NLABEL", str(FLAGSHIP_NLABEL)) for l in lines]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("chunk", [50, 37])
+def test_flagship_streaming_equals_batch(flagship_arch_lines, chunk):
+    """Full flagship arch: chunked streaming == batch forward (max |diff|
+    < 1e-4 on logits). Catches multi-stage flush/carry bugs AND the
+    shape-dependent reduced-precision matmul divergence (round-4's broken
+    product path): the batch side is pinned to highest precision, the
+    streaming side pins precision internally."""
+    lines = flagship_arch_lines
+    m = build_arch_from_lines(lines, FLAGSHIP_NLABEL)
+    T = 300
+    x = jnp.zeros((1, T, FLAGSHIP_NFEAT))
+    params = m.init({"params": jax.random.PRNGKey(7)}, x, jnp.asarray([T]))
+    net = build_streaming_network(lines, FLAGSHIP_NFEAT, params["params"])
+    rng = np.random.RandomState(3)
+    feats = rng.randn(1, T, FLAGSHIP_NFEAT).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        batch_out = run_batch(m, params, feats)
+    stream_out = run_streaming(net, feats, chunk)
+    assert stream_out.shape == batch_out.shape, (
+        f"{stream_out.shape} vs {batch_out.shape}")
+    np.testing.assert_allclose(stream_out, batch_out, rtol=1e-4, atol=1e-4)

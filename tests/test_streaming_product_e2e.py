@@ -15,6 +15,10 @@ from wav2letter_tpu.config import Config
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Two chained future-context PD/C2 subsampling stages + asymmetric TDS:
+# the multi-stage structure class where the round-4 streaming failure
+# lived (a single-stage toy cannot catch cross-stage flush/carry bugs or
+# compounded precision divergence).
 STREAM_ARCH = """\
 V -1 NFEAT 1 0
 PD 0 3 2
@@ -22,7 +26,12 @@ C2 1 8 6 1 2 1 0 0
 R
 LN 1 2
 TDS 8 5 NFEAT 0.0 0 1 0
-TDS 8 5 NFEAT 0.0 0 1 0
+PD 0 4 1
+C2 8 12 6 1 2 1 0 0
+R
+LN 1 2
+TDS 12 5 NFEAT 0.0 0 1 0
+TDS 12 5 NFEAT 0.0 0 0 0
 RO 2 1 0 3
 V {flat} -1 1 0
 L {flat} NLABEL
@@ -35,7 +44,7 @@ def test_train_convert_stream(tmp_path):
     lst, tokens, lexicon = make_dataset(str(tmp_path), n_utts=32, seed=101)
     nfeat = 40
     arch = tmp_path / "stream.arch"
-    arch.write_text(STREAM_ARCH.format(flat=8 * nfeat))
+    arch.write_text(STREAM_ARCH.format(flat=12 * nfeat))
     cfg = Config()
     cfg.update(
         dict(

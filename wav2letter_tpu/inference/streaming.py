@@ -36,6 +36,14 @@ from ..models.arch import LayerSpec
 
 Array = jnp.ndarray
 
+# All streaming matmuls/convs pin precision="highest": the default matmul
+# precision is reduced (bf16-class passes) and its error is SHAPE-DEPENDENT,
+# so a chunked step (tiny N) and the batch forward (full T) disagree by ~1e-2
+# on identical windows — enough to break the converter's exactness contract
+# (StreamingTDSModelConverter.cpp:71-79). Streaming compute is a tiny fraction
+# of batch training FLOPs, so fp32 exactness here is cheap.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # streaming featurizer (LogMelFeature + LocalNorm analog)
@@ -179,6 +187,7 @@ class StreamConv(StreamLayer):
             padding=((self.freq_pad, self.freq_pad), (0, 0)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=self.groups,
+            precision=_PREC,
         )
         if b is not None:
             y = y + b.astype(y.dtype)[None, :, None, None]
@@ -237,6 +246,7 @@ class StreamTDS(StreamLayer):
         y = jax.lax.conv_general_dilated(
             inp, w.astype(inp.dtype), (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_PREC,
         )
         y = y + b.astype(y.dtype)[None, :, None, None]
         y = jnp.maximum(y, 0).transpose(0, 3, 2, 1)  # (B, n_out, F, C)
@@ -252,7 +262,10 @@ class StreamTDS(StreamLayer):
         b1 = params[f"{self.name}_lin1_b"]
         w2 = params[f"{self.name}_lin2_w"]
         b2 = params[f"{self.name}_lin2_b"]
-        h = jnp.maximum(flat @ w1 + b1, 0) @ w2 + b2
+        h = jnp.matmul(
+            jnp.maximum(jnp.matmul(flat, w1, precision=_PREC) + b1, 0),
+            w2, precision=_PREC,
+        ) + b2
         z2 = flat + h
         z2 = z2.reshape(B, N, C, F).transpose(0, 1, 3, 2)
         z2 = self._ln(params, f"{self.name}_ln2", z2)
@@ -293,7 +306,7 @@ class StreamPointwise(StreamLayer):
         if self.kind == "linear":
             B, N, F, C = x.shape
             flat = x.reshape(B, N, F * C)
-            y = flat @ params[f"{self.name}_w"]
+            y = jnp.matmul(flat, params[f"{self.name}_w"], precision=_PREC)
             b = params.get(f"{self.name}_b")
             if b is not None:
                 y = y + b

@@ -196,6 +196,7 @@ def run_test(cfg: Config) -> Dict[str, float]:
     emission_dir = ecfg.emission_dir
     if emission_dir:
         os.makedirs(emission_dir, exist_ok=True)
+    sclite_rows = []
     it = PrefetchIterator(ds, ds.batch_specs(), num_threads=max(1, ecfg.nthread))
     for batch in it:
         em, elen = ev.emissions(batch)
@@ -224,6 +225,8 @@ def run_test(cfg: Config) -> Dict[str, float]:
                 ev.token_dict.map_indices(hyp_toks), ecfg.wordseparator, ecfg.usewordpiece
             )
             meters.wrd_edit.add(ref_w, hyp_w)
+            if ecfg.sclite:
+                sclite_rows.append((sid, ref_w, hyp_w))
             if ecfg.show:
                 print(f"|T|: {' '.join(ref_w)}")
                 print(f"|P|: {' '.join(hyp_w)}")
@@ -233,6 +236,16 @@ def run_test(cfg: Config) -> Dict[str, float]:
                     emission=em_np[i, : int(elen_np[i])],
                     sample_id=sid,
                 )
+    if ecfg.sclite:
+        # same .hyp/.ref layout the beam decoder emits (decode.py sclite
+        # path; reference Decode.cpp:206-233) so slice analyses can consume
+        # viterbi and beam outputs uniformly
+        os.makedirs(ecfg.sclite, exist_ok=True)
+        base = os.path.join(ecfg.sclite, os.path.basename(ecfg.test))
+        with open(base + ".hyp", "w") as fh, open(base + ".ref", "w") as fr:
+            for sid, ref_w, hyp_w in sclite_rows:
+                fh.write(f"{' '.join(hyp_w)} ({sid})\n")
+                fr.write(f"{' '.join(ref_w)} ({sid})\n")
     res = {
         "TER": meters.tkn_edit.error_rate(),
         "WER": meters.wrd_edit.error_rate(),

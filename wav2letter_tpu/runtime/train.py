@@ -83,22 +83,21 @@ class Trainer:
                 raise FileNotFoundError(
                     f"continue: no checkpoint (model_last.bin) under "
                     f"{self.rundir!r}")
-            if last:
-                resume_ckpt = load_checkpoint(last)
-                stored = Config.deserialize(resume_ckpt.config)
-                # precedence: stored flags < EXPLICITLY re-passed flags.
-                # Only flags the user actually set this run override the
-                # checkpoint — process defaults must not clobber the stored
-                # training config (`fl_asr_train continue` gflags parity;
-                # a bare `continue --rundir=X` resumes with X's full flags).
-                merged = stored.asdict()
-                merged.update(cfg.explicit_dict())
-                self.cfg = cfg = Config(**{})
-                cfg.update(merged)
-                self.epoch = resume_ckpt.epoch
-                self.updates = resume_ckpt.updates
-                idxs = run_index_paths(self.rundir)
-                self.run_idx = (idxs[-1] + 1) if idxs else 1
+            resume_ckpt = load_checkpoint(last)
+            stored = Config.deserialize(resume_ckpt.config)
+            # precedence: stored flags < EXPLICITLY re-passed flags.
+            # Only flags the user actually set this run override the
+            # checkpoint — process defaults must not clobber the stored
+            # training config (`fl_asr_train continue` gflags parity;
+            # a bare `continue --rundir=X` resumes with X's full flags).
+            merged = stored.asdict()
+            merged.update(cfg.explicit_dict())
+            self.cfg = cfg = Config(**{})
+            cfg.update(merged)
+            self.epoch = resume_ckpt.epoch
+            self.updates = resume_ckpt.updates
+            idxs = run_index_paths(self.rundir)
+            self.run_idx = (idxs[-1] + 1) if idxs else 1
         elif mode == "fork" and init_model_path:
             resume_ckpt = load_checkpoint(init_model_path)
         self._resume = resume_ckpt
@@ -597,16 +596,36 @@ class Trainer:
             with open(cfg_path, "w") as f:
                 f.write(cfg.serialize())
 
-        rng = jax.random.PRNGKey(cfg.seed + 7)
+        # Per-step RNG is a pure function of the GLOBAL update index (not a
+        # sequential split stream): `continue` resume replays the exact
+        # dropout/SpecAugment draws the uninterrupted run would have used
+        # (SURVEY hard part (f) — input determinism for resume parity).
+        base_rng = jax.random.PRNGKey(cfg.seed + 7)
         stride_ms = cfg.framestridems
         report = cfg.reportiters
         self.meters.runtime.start()
         skipped = 0
         self._pending = []
 
+        # Exact-replay resume: every batch consumes exactly one update and
+        # epochs have a fixed deterministic batch count, so the interrupted
+        # epoch and the position within it are pure functions of `updates`.
+        # Re-derive both and skip the already-consumed prefix of the
+        # per-epoch shuffle — the resumed run then sees the identical
+        # remaining data stream (the reference resumes at epoch granularity
+        # only, cpc/Train.cpp:249-327; we restore mid-epoch position).
+        steps_per_epoch = len(self.train_ds.batch_specs(shuffle_seed=cfg.seed + 1))
+        mid_skip = 0
+        if self.updates and steps_per_epoch:
+            self.epoch = self.updates // steps_per_epoch  # loop +1s below
+            mid_skip = self.updates % steps_per_epoch
+
         while self.updates < cfg.iter:
             self.epoch += 1
             specs = self.train_ds.batch_specs(shuffle_seed=cfg.seed + self.epoch)
+            if mid_skip:
+                specs = specs[mid_skip:]
+                mid_skip = 0
             it = PrefetchIterator(self.train_ds, specs, num_threads=cfg.nthread)
             for batch in it:
                 if self.updates >= cfg.iter:
@@ -614,7 +633,7 @@ class Trainer:
                 self.meters.timer.start()
                 lr = self.net_sched(self.updates, self.epoch)
                 lr_crit = self.crit_sched(self.updates, self.epoch)
-                rng, k = jax.random.split(rng)
+                k = jax.random.fold_in(base_rng, self.updates)
                 saug_on = jnp.asarray(
                     cfg.saug_start_update >= 0
                     and self.updates >= cfg.saug_start_update

@@ -90,7 +90,17 @@ def make_vocab(rng: np.random.RandomState, n_words: int = 1000,
 
 class MarkovText:
     """First-order word chain with Zipf unigrams; each homophone pair's two
-    words have disjoint predecessor sets (so a bigram+ LM separates them)."""
+    words have disjoint predecessor sets (so a bigram+ LM separates them).
+
+    ``n_succ`` governs bigram diversity — the LM-vs-AM asymmetry knob.
+    The flagship AM's receptive field covers the preceding word, so with
+    few well-covered bigrams the AM itself learns the chain from audio and
+    viterbi resolves the "homophones" (measured in the round-4 soak: best
+    lmweight 0.0, viterbi 1.27%). With many successors per word, the
+    training AUDIO covers each (predecessor, homophone) bigram ~once while
+    the much larger TEXT corpus covers it densely: only the LM can resolve
+    the pair — the same text >> audio asymmetry that makes LM fusion pay
+    on real speech (streaming_convnets README 8.25 -> 7.48)."""
 
     def __init__(self, vocab: List[str], pairs: List[Tuple[str, str]],
                  rng: np.random.RandomState, n_succ: int = 12):
@@ -146,14 +156,14 @@ class MarkovText:
 
 
 def load_chain(seed: int = 0, n_words: int = 1000,
-               n_homophone_pairs: int = 100):
+               n_homophone_pairs: int = 100, n_succ: int = 12):
     """Re-derive the exact (vocab, pairs, chain) a ``generate(seed=...)``
     call used — same RandomState consumption order — so downstream tools
     (prod-scale lexicon/LM builders) can extend the corpus language without
     re-reading the audio."""
     rng = np.random.RandomState(seed)
     vocab, pairs = make_vocab(rng, n_words, n_homophone_pairs)
-    chain = MarkovText(vocab, pairs, rng)
+    chain = MarkovText(vocab, pairs, rng, n_succ=n_succ)
     return vocab, pairs, chain
 
 
@@ -228,7 +238,8 @@ def generate(root: str, train_hours: float = 20.0, dev_minutes: float = 30.0,
              test_minutes: float = 30.0, n_words: int = 1000,
              n_homophone_pairs: int = 100, lm_sentences: int = 50000,
              seed: int = 0, min_words: int = 4, max_words: int = 8,
-             snr_db: float = 15.0, force: bool = False) -> Dict[str, str]:
+             snr_db: float = 15.0, n_succ: int = 12,
+             force: bool = False) -> Dict[str, str]:
     """Generate the full corpus layout under ``root``:
 
     train.lst / dev.lst / test.lst  (16-bit wav per utterance)
@@ -242,7 +253,8 @@ def generate(root: str, train_hours: float = 20.0, dev_minutes: float = 30.0,
                 test_minutes=test_minutes, n_words=n_words,
                 n_homophone_pairs=n_homophone_pairs, seed=seed,
                 lm_sentences=lm_sentences, min_words=min_words,
-                max_words=max_words, snr_db=snr_db, version=2)
+                max_words=max_words, snr_db=snr_db, n_succ=n_succ,
+                version=3)
     paths = {
         "train": os.path.join(root, "train.lst"),
         "dev": os.path.join(root, "dev.lst"),
@@ -263,7 +275,7 @@ def generate(root: str, train_hours: float = 20.0, dev_minutes: float = 30.0,
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     vocab, pairs = make_vocab(rng, n_words, n_homophone_pairs)
-    chain = MarkovText(vocab, pairs, rng)
+    chain = MarkovText(vocab, pairs, rng, n_succ=n_succ)
 
     with open(paths["tokens"], "w") as f:
         f.write("|\n" + "\n".join(LETTERS) + "\n")
