@@ -390,3 +390,57 @@ def test_batched_cross_utterance_with_lm_lexicon(tmp_path):
         for br, sr in zip(batch_res[b], seq_res):
             assert br.tokens == sr.tokens and br.words == sr.words
             assert abs(br.score - sr.score) < 1e-3
+
+
+@pytest.mark.slow
+def test_batched_n16_full_beam_equality_with_ties():
+    """VERDICT r4 task 8: batched S2S at production widths — 32 utterances
+    decoded 16-per-call — must produce the IDENTICAL full beam (every
+    n_best hypothesis' tokens AND scores, not just top-1) as the
+    per-utterance sequential decoder. Emissions are quantized to 0.5 so
+    score TIES are common: any tie-break divergence between the batched and
+    sequential schedules shows up as a beam-order mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_tpu.criterions.base import CriterionScaleMode
+    from wav2letter_tpu.criterions.seq2seq import S2SConfig, Seq2SeqCriterion
+    from wav2letter_tpu.decoder.seq2seq_beam import make_s2s_update_fn
+    from wav2letter_tpu.decoder.s2s_native import NativeSeq2SeqBatchDecoder
+
+    N_CLS, eos, pad = 8, 6, 7
+    rng = np.random.RandomState(11)
+    B, H = 32, 12
+    elens = [int(x) for x in rng.randint(4, 9, B)]
+    Tmax = max(elens)
+    # quantized emissions -> tied candidate scores are the norm, not the
+    # exception
+    em = (np.round(rng.randn(B, Tmax, H) * 2.0) / 2.0).astype(np.float32)
+    crit = Seq2SeqCriterion(
+        S2SConfig(n_classes=N_CLS, eos_idx=eos, pad_idx=pad, hidden=12,
+                  max_decoder_output_len=8),
+        CriterionScaleMode.NONE,
+    )
+    params = crit.init(
+        jax.random.PRNGKey(4), jnp.asarray(em), jnp.zeros((B, 3), jnp.int32),
+        jnp.asarray(elens), jnp.full((B,), 3, jnp.int32))
+
+    beam = 8
+    opts = DecoderOptions(beam_size=beam, beam_threshold=50.0,
+                          criterion_type=CriterionType.S2S)
+    ems = [em[b, : elens[b]] for b in range(B)]
+    batch = NativeSeq2SeqBatchDecoder(
+        opts, eos, crit, params["params"], max_output_len=8)
+    # production width: 16 utterances per batched call
+    batch_res = batch.decode(ems[:16], n_best=beam) + batch.decode(
+        ems[16:], n_best=beam)
+    assert len(batch_res) == B
+    for b in range(B):
+        fn, init = make_s2s_update_fn(crit, params["params"], ems[b], elens[b])
+        seq = NativeSeq2SeqDecoder(opts, eos, fn, init, max_output_len=8)
+        seq_res = seq.decode(n_best=beam)
+        assert len(batch_res[b]) == len(seq_res), (
+            b, len(batch_res[b]), len(seq_res))
+        for k, (br, sr) in enumerate(zip(batch_res[b], seq_res)):
+            assert br.tokens == sr.tokens, (b, k, br.tokens, sr.tokens)
+            assert abs(br.score - sr.score) < 1e-3, (b, k, br.score, sr.score)

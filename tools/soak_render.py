@@ -29,36 +29,52 @@ def render(results: dict) -> str:
         t = results.get(run)
         if not t:
             continue
+        wall = t.get("wall_s")
         out.append(
-            f"**{run}** — batch {t['batch']}, lr {t['lr']}, {t['iters']} "
-            f"updates planned, wall {t['wall_s']:.0f} s, "
-            f"{t['checkpoints']} checkpoints"
+            f"**{run}** — batch {t.get('batch', '?')}, lr {t.get('lr', '?')}, "
+            f"{t.get('iters', '?')} updates planned, "
+            + (f"wall {wall:.0f} s, " if wall is not None else "wall ?, ")
+            + f"{t.get('checkpoints', '?')} checkpoints"
             + (", mid-run SIGKILL + `continue` resume"
                if t.get("killed_and_resumed") else "") + ":\n")
         out.append("| updates | lr | loss | dev-WER % | run |")
         out.append("|---|---|---|---|---|")
         rows = t.get("trajectory", [])
-        # subsample to <= 14 rows, always keeping first/last
-        keep = rows if len(rows) <= 14 else (
-            [rows[0]] + rows[1:-1][:: max(1, (len(rows) - 2) // 12)] + [rows[-1]])
+        # index-based subsample to EXACTLY <= 14 rows incl. first and last
+        if len(rows) <= 14:
+            keep = rows
+        else:
+            idxs = sorted({round(i * (len(rows) - 1) / 13) for i in range(14)})
+            keep = [rows[i] for i in idxs]
         for r in keep:
             lr = f"{r['lr']:.3f}" if r.get("lr") is not None else "-"
             wer = f"{r['dev_wer']:.2f}" if r.get("dev_wer") is not None else "-"
-            out.append(f"| {r['updates']} | {lr} | {r['loss']:.4f} | {wer} "
-                       f"| {r['run']:03d} |")
+            loss = f"{r['loss']:.4f}" if r.get("loss") is not None else "-"
+            out.append(f"| {r.get('updates', '?')} | {lr} | {loss} | {wer} "
+                       f"| {r.get('run', 0):03d} |")
         out.append("")
 
     p = results.get("product")
     if p:
         out.append("**Product chain on the trained B=128 model** (all via "
                    "the real CLI binaries):\n")
-        out.append("| stage | test WER % |")
-        out.append("|---|---|")
-        out.append(f"| viterbi (`cli/test.py`) | {p.get('viterbi_test_wer')} |")
-        out.append(f"| lexicon beam, no LM | {p.get('beam_nolm_test_wer')} |")
+        def slc(key):
+            s = p.get(key) or {}
+            if not s:
+                return "-"
+            return (f"{s.get('homophone_err_rate', '-')} "
+                    f"({s.get('homophone_tokens', '?')} toks)")
+
+        out.append("| stage | test WER % | homophone-slice err % |")
+        out.append("|---|---|---|")
+        out.append(f"| viterbi (`cli/test.py`) | {p.get('viterbi_test_wer')} "
+                   f"| {slc('viterbi_slice')} |")
+        out.append(f"| lexicon beam, no LM | {p.get('beam_nolm_test_wer')} "
+                   f"| {slc('beam_nolm_slice')} |")
         out.append(f"| beam + 3-gram LM @ lmweight="
-                   f"{p.get('best_lmweight')} (dev-tuned) | "
-                   f"{p.get('beam_lm_test_wer')} |")
+                   f"{p.get('best_lmweight')} ws={p.get('best_wordscore')} "
+                   f"(dev-tuned) | {p.get('beam_lm_test_wer')} "
+                   f"| {slc('beam_lm_slice')} |")
         r = p.get("rescore", {})
         if r:
             out.append(f"| beam-dump rescored (grid weights {r.get('grid_weights')}) "
