@@ -223,3 +223,26 @@ def test_flagship_streaming_equals_batch(flagship_arch_lines, chunk):
     assert stream_out.shape == batch_out.shape, (
         f"{stream_out.shape} vs {batch_out.shape}")
     np.testing.assert_allclose(stream_out, batch_out, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_featurizer_local_norm_matches_batch():
+    """Streaming featurizer with running local CMVN (left ctx 300 frames,
+    the reference streaming cfg's --localnrmlleftctx,
+    train_am_500ms_future_context.cfg:33) == batch featurizer with the
+    same local normalization, across chunk boundaries."""
+    p = FeatureParams(n_filterbanks=80, local_norm_left=300)
+    full = Featurizer(p)
+    sf = StreamingFeaturizer(p)
+    rng = np.random.RandomState(4)
+    audio = rng.randn(5 * 16000).astype(np.float32) * 0.1  # 5 s ~ 500 frames
+    ref, _ = full(jnp.asarray(audio[None]))
+    ref = np.asarray(ref)[0]
+    st = sf.start()
+    outs = []
+    for s in range(0, len(audio), 8000):  # 500 ms chunks
+        st, f = sf.run(st, audio[s : s + 8000])
+        if len(f):
+            outs.append(f)
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -266,9 +266,14 @@ def local_normalize(feats: jnp.ndarray, left_ctx: int, right_ctx: int) -> jnp.nd
     LocalNorm keeps running sums — here computed via cumulative sums, exact).
     """
     B, T, C = feats.shape
-    # cumulative sums over time with a leading zero row
-    cs = jnp.cumsum(feats, axis=1)
-    cs2 = jnp.cumsum(feats * feats, axis=1)
+    # center per (utterance, channel) before the cumsum trick: E[x^2]-E[x]^2
+    # in fp32 catastrophically cancels on near-constant windows (~20% std
+    # error at var ~1e-6 for x ~ 3); on centered values the cancellation
+    # vanishes and the result matches a float64 two-pass to ~1e-6
+    c = feats.mean(axis=1, keepdims=True)
+    y = feats - c
+    cs = jnp.cumsum(y, axis=1)
+    cs2 = jnp.cumsum(y * y, axis=1)
     zeros = jnp.zeros((B, 1, C), feats.dtype)
     cs = jnp.concatenate([zeros, cs], axis=1)
     cs2 = jnp.concatenate([zeros, cs2], axis=1)
@@ -278,10 +283,10 @@ def local_normalize(feats: jnp.ndarray, left_ctx: int, right_ctx: int) -> jnp.nd
     n = (hi - lo).astype(feats.dtype)[None, :, None]
     s = cs[:, hi] - cs[:, lo]
     s2 = cs2[:, hi] - cs2[:, lo]
-    mean = s / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    mean_y = s / n
+    var = jnp.maximum(s2 / n - mean_y * mean_y, 0.0)
     std = jnp.sqrt(var + 1e-10)
-    return (feats - mean) / std
+    return (y - mean_y) / std
 
 
 class HostFeaturizer:

@@ -58,8 +58,12 @@ class StreamingFeaturizer:
         self.p = params
         # preemphasis is applied incrementally on arrival (continuous across
         # chunk boundaries); the windowed featurizer sees preemphasized
-        # samples and must not re-apply it
-        self.featurizer = Featurizer(dataclasses.replace(params, preem_coef=0.0))
+        # samples and must not re-apply it. Local CMVN is likewise applied
+        # incrementally by _local_norm (whole-history window), so the inner
+        # featurizer must NOT apply its per-chunk version — double
+        # normalization broke every localnrml*ctx streaming model.
+        self.featurizer = Featurizer(dataclasses.replace(
+            params, preem_coef=0.0, local_norm_left=0, local_norm_right=0))
         self._jit_feat = jax.jit(lambda a: self.featurizer(a)[0])
 
     def start(self):
@@ -106,10 +110,12 @@ class StreamingFeaturizer:
         for i in range(len(feats)):
             j = n_prev + i
             lo = max(0, j - ctx)
-            w = hist[lo : j + 1]
+            w = hist[lo : j + 1].astype(np.float64)
+            # identical formula to features.frontend.local_normalize
+            # (E[x^2]-E[x]^2 then sqrt(var+1e-10)): same rounding, same eps
             m = w.mean(axis=0)
-            s = w.std(axis=0)
-            out[i] = (feats[i] - m) / (s + 1e-10)
+            var = np.maximum((w * w).mean(axis=0) - m * m, 0.0)
+            out[i] = ((feats[i] - m) / np.sqrt(var + 1e-10)).astype(np.float32)
         state["ln_hist"] = hist[-ctx:]
         return out, state
 
