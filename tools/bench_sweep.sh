@@ -1,10 +1,10 @@
 #!/bin/bash
-# Round-4 bench sweep: run AFTER the soak finishes (the trained flagship
+# Post-soak bench sweep (round 5; authored round 4): run AFTER the soak finishes (the trained flagship
 # checkpoint at _local/soak/b128/model_last.bin feeds the decode/streaming
-# benches). Each line appends one JSON record to _local/bench_r4.jsonl.
+# benches). Each line appends one JSON record to _local/bench_r5.jsonl.
 set -u
 cd "$(dirname "$0")/.."
-OUT=_local/bench_r4.jsonl
+OUT=_local/bench_r5.jsonl
 : > "$OUT"
 run() {
   echo "### $*" >&2
