@@ -462,6 +462,51 @@ class Soak:
         prod["beam_lm_slice"] = self._slice_rates(
             os.path.join(sc_lm, os.path.basename(test)))
 
+        # 4b. homophone-heavy eval slice (VERDICT r4 task 4): same chain,
+        # rejection-sampled to >= 2 pair tokens/sentence, so the
+        # viterbi-vs-beam+LM structural comparison has hundreds of pair
+        # tokens instead of the natural ~1% share
+        from wav2letter_tpu.tools.synth_corpus import generate_homophone_slice
+
+        homo = os.path.join(self.corpus, "homo_eval.lst")
+        if not os.path.exists(homo):
+            log("product: generating homophone-heavy eval slice")
+            homo = generate_homophone_slice(
+                self.corpus, n_utts=20 if self.fast else 150)
+        log("product: homophone slice viterbi vs beam vs beam+LM")
+        sc_hv = os.path.join(self.root, "sclite_homo_vit")
+        out = self._run_cli("test.py", [f"--am={am}", f"--test={homo}",
+                                        "--nthread=2", f"--sclite={sc_hv}"],
+                            "homo_viterbi")
+        hv = self._slice_rates(os.path.join(sc_hv, "homo_eval.lst"))
+        hv["wer_overall"] = self._parse_wer(out)
+        sc_hn = os.path.join(self.root, "sclite_homo_nolm")
+        out = self._run_cli("decode.py", [*common, f"--test={homo}",
+                                          f"--sclite={sc_hn}"], "homo_nolm")
+        hn = self._slice_rates(os.path.join(sc_hn, "homo_eval.lst"))
+        hn["wer_overall"] = self._parse_wer(out)
+        sc_hl = os.path.join(self.root, "sclite_homo_lm")
+        out = self._run_cli("decode.py", [
+            *common, f"--test={homo}", f"--lm={lm}",
+            f"--lmweight={best_w}", f"--wordscore={best_ws}",
+            f"--sclite={sc_hl}"], "homo_lm")
+        hl = self._slice_rates(os.path.join(sc_hl, "homo_eval.lst"))
+        hl["wer_overall"] = self._parse_wer(out)
+        prod["homophone_slice_eval"] = {
+            "viterbi": hv, "beam_nolm": hn, "beam_lm": hl}
+        # diagnostic WER(lmweight) curve ON the slice (emission cache
+        # reused) — shows the LM's leverage exactly where the corpus is
+        # structurally ambiguous; dev-tuned numbers above stay the protocol
+        emh = os.path.join(self.root, "em_homo")
+        out = self._run_cli("decode.py", [
+            *common, f"--test={homo}", f"--lm={lm}",
+            "--lmweight_low=0.0", "--lmweight_high=3.0",
+            "--lmweight_step=0.5", f"--wordscore={best_ws}",
+            f"--emission_dir={emh}"], "homo_sweep")
+        wers = re.findall(r"\[Decode .*?\] WER: ([0-9.]+)%", out)
+        prod["homophone_slice_sweep"] = {
+            round(0.5 * i, 2): float(w) for i, w in enumerate(wers)}
+
         # 5. beam dump + rescoring grid + oracle WER on dev
         log("product: beam dump + rescore")
         sclite = os.path.join(self.root, "sclite")

@@ -81,6 +81,29 @@ def render(results: dict) -> str:
                        f"| {r.get('rescored_wer')} (oracle {r.get('oracle_wer')}, "
                        f"{r.get('n_beams')} dumps) |")
         out.append("")
+        h = p.get("homophone_slice_eval") or {}
+        if h:
+            out.append("**Homophone-heavy eval slice** (same Markov chain, "
+                       "rejection-sampled to >= 2 pair tokens/sentence — "
+                       "the corpus's structural ambiguity, concentrated):\n")
+            out.append("| decode | overall WER % | homophone err % | pair toks |")
+            out.append("|---|---|---|---|")
+            for tag, label in (("viterbi", "viterbi"),
+                               ("beam_nolm", "lexicon beam, no LM"),
+                               ("beam_lm", "beam + LM (dev-tuned)")):
+                s = h.get(tag) or {}
+                out.append(f"| {label} | {s.get('wer_overall', '-')} "
+                           f"| {s.get('homophone_err_rate', '-')} "
+                           f"| {s.get('homophone_tokens', '-')} |")
+            out.append("")
+            hs = p.get("homophone_slice_sweep") or {}
+            if hs:
+                ws2 = sorted(hs, key=float)
+                out.append("WER(lmweight) on the slice (diagnostic):\n")
+                out.append("| " + " | ".join(f"w={w}" for w in ws2) + " |")
+                out.append("|" + "---|" * len(ws2))
+                out.append("| " + " | ".join(f"{hs[w]:.2f}" for w in ws2) + " |")
+                out.append("")
         sw = p.get("lmweight_sweep_dev") or {}
         if sw:
             ws = sorted(sw, key=float)

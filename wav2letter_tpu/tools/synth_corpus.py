@@ -349,3 +349,51 @@ def main(argv: Optional[List[str]] = None):
 
 if __name__ == "__main__":
     main()
+
+
+def generate_homophone_slice(root: str, out_tag: str = "homo_eval",
+                             n_utts: int = 150, min_pairs: int = 2,
+                             seed_offset: int = 5) -> str:
+    """Homophone-heavy evaluation slice (VERDICT r4 task 4): rejection-
+    sample sentences from the SAME Markov chain until each contains
+    >= ``min_pairs`` homophone-pair tokens, synth audio, write
+    ``<root>/<out_tag>.lst``. The slice concentrates the corpus's
+    structural ambiguity so the viterbi-vs-beam+LM comparison has real
+    statistics (~n_utts*min_pairs pair tokens instead of the natural
+    ~1% share), while the chain/LM distribution is untouched — the LM
+    was trained on the true distribution and is not being handed a
+    biased training set."""
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    vocab, pairs, chain = load_chain(
+        meta["seed"], meta["n_words"], meta["n_homophone_pairs"],
+        meta.get("n_succ", 12))
+    pair_words = {w for p in pairs for w in p}
+    srng = np.random.RandomState(meta["seed"] + seed_offset)
+    schain = MarkovText(vocab, pairs, srng)
+    schain.succ, schain.succ_p = chain.succ, chain.succ_p
+    schain.start, schain.unigram = chain.start, chain.unigram
+    audio_dir = os.path.join(root, out_tag)
+    os.makedirs(audio_dir, exist_ok=True)
+    lines = []
+    i = tries = 0
+    while i < n_utts:
+        tries += 1
+        if tries > n_utts * 5000:
+            raise RuntimeError(
+                f"homophone slice: {i}/{n_utts} after {tries} samples — "
+                f"chain cannot produce >= {min_pairs} pair tokens/sentence")
+        words = schain.sentence(srng.randint(
+            meta["min_words"], meta["max_words"] + 1))
+        if sum(1 for w in words if w in pair_words) < min_pairs:
+            continue
+        wav = synth_words(srng, words, snr_db=meta["snr_db"])
+        uid = f"{out_tag}{i:06d}"
+        p = os.path.join(audio_dir, f"{uid}.wav")
+        _write_wav(p, wav)
+        dur_ms = 1000.0 * len(wav) / SR
+        lines.append(f"{uid} {p} {dur_ms:.1f} {' '.join(words)}")
+        i += 1
+    out = os.path.join(root, f"{out_tag}.lst")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out
