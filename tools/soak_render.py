@@ -79,7 +79,7 @@ def render(results: dict) -> str:
         if r:
             out.append(f"| beam-dump rescored (grid weights {r.get('grid_weights')}) "
                        f"| {r.get('rescored_wer')} (oracle {r.get('oracle_wer')}, "
-                       f"{r.get('n_beams')} dumps) |")
+                       f"{r.get('n_beams')} dumps) | — |")
         out.append("")
         h = p.get("homophone_slice_eval") or {}
         if h:
@@ -106,12 +106,28 @@ def render(results: dict) -> str:
                 out.append("")
         sw = p.get("lmweight_sweep_dev") or {}
         if sw:
-            ws = sorted(sw, key=float)
-            out.append("`--lmweight` sweep on dev (emission cache reused "
-                       "across weights):\n")
-            out.append("| " + " | ".join(f"lmw {w}" for w in ws) + " |")
-            out.append("|" + "---|" * len(ws))
-            out.append("| " + " | ".join(f"{sw[w]:.2f}" for w in ws) + " |")
+            out.append("`--lmweight` × `--wordscore` sweep on dev (emission "
+                       "cache reused across all runs):\n")
+            ks = list(sw)
+            if ks and isinstance(ks[0], str) and ks[0].startswith("lm"):
+                # joint keys "lm<w>_ws<s>" -> one row per wordscore
+                rows = {}
+                for k, v in sw.items():
+                    lw, wsv = k[2:].split("_ws")
+                    rows.setdefault(wsv, {})[float(lw)] = v
+                lws = sorted({float(k[2:].split("_ws")[0]) for k in ks})
+                out.append("| ws \\ lmw | " + " | ".join(str(w) for w in lws)
+                           + " |")
+                out.append("|" + "---|" * (len(lws) + 1))
+                for wsv in sorted(rows, key=float):
+                    out.append(f"| {wsv} | " + " | ".join(
+                        f"{rows[wsv].get(w, float('nan')):.2f}" for w in lws)
+                        + " |")
+            else:
+                ws = sorted(sw, key=float)
+                out.append("| " + " | ".join(f"lmw {w}" for w in ws) + " |")
+                out.append("|" + "---|" * len(ws))
+                out.append("| " + " | ".join(f"{sw[w]:.2f}" for w in ws) + " |")
             out.append("")
         st = p.get("streaming", {})
         if st:
