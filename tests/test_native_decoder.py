@@ -454,3 +454,41 @@ def test_binary_lms_are_mmapped(tmp_path):
         scores[p] = lm.score_sentence_ids([0, 1, 2])
     assert abs(scores[arpa] - scores[bin_p]) < 1e-3  # f32 round-trip
     assert abs(scores[arpa] - scores[qt_p]) < 0.2  # 8-bit quantized
+
+
+def test_lookback_consume_no_duplicates_no_gaps():
+    """Online consume-then-prune with look_back > 0 (the reference
+    getBestHypothesis(lookBack)/prune(lookBack) pattern,
+    AudioToWords.cpp:64-105): concatenated per-chunk stable prefixes + the
+    final tail must equal the offline decode's word sequence — no
+    duplicated words from the kept look-back window, no gaps."""
+    # unambiguous emissions: online consumption commits the at-the-time
+    # best hypothesis (non-revisable — reference semantics); equality with
+    # the offline decode only holds when each consume-point best is the
+    # eventual winner's ancestor, so drive with near-one-hot emissions
+    # (trained-model-like margins) rather than random ones
+    rng = np.random.RandomState(11)
+    spellings = ([1, 2], [2, 3])  # "ab", "bc" in the harness trie
+    path = []
+    for _ in range(8):
+        path += [0, 0]  # sil
+        path += list(spellings[rng.randint(2)])
+    path += [0, 0]
+    em = np.full((len(path), N_TOK), -6.0, np.float32)
+    em[np.arange(len(path)), path] = 6.0
+    nd, _ = build_native()
+    full = [w for w in nd.decode(em)[0].words if w >= 0]
+    assert len(full) == 8, full
+    for look_back in (0, 3, 7):
+        nd2, _ = build_native()
+        nd2.decode_begin()
+        consumed = []
+        for s in range(0, len(em), 8):
+            nd2.decode_step(em[s:s + 8])
+            res = nd2.get_best_hypothesis(look_back)
+            consumed.extend(w for w in res.words if w >= 0)
+            nd2.prune(look_back)
+        nd2.decode_end()
+        tail = [w for w in nd2.get_results(1, max_len=200)[0].words if w >= 0]
+        got = consumed + tail
+        assert got == full, (look_back, got, full)

@@ -3,6 +3,8 @@
 # checkpoint at _local/soak/b128/model_last.bin feeds the decode/streaming
 # benches). Each line appends one JSON record to _local/bench_r5.jsonl.
 set -u
+export JAX_COMPILATION_CACHE_DIR=_local/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 cd "$(dirname "$0")/.."
 OUT=_local/bench_r5.jsonl
 : > "$OUT"

@@ -306,41 +306,59 @@ def run_decode_bench():
     it = PrefetchIterator(ds, specs, num_threads=2)
     wsep = ev.cfg.wordseparator
 
+    # top-k transfer can't exceed the class count (small-token corpora,
+    # e.g. the soak's 22-class letter set, are legal bench AMs)
+    if topk >= n_label:
+        topk = 0
+    # warmup: compile the AM forward for the first batch shape outside the
+    # timed window (steady-state RTF is the serving-relevant number; the
+    # persistent compile cache makes later shapes cheap too)
+    import jax as _jax
+
+    wb = ds.materialize(specs[0])
+    if topk > 0:
+        _jax.block_until_ready(ev.emissions_topk(wb, topk))
+    else:
+        _jax.block_until_ready(ev.emissions(wb))
     produced = 0
     wall0 = time.perf_counter()
     for t in threads:
         t.start()
-    for batch in it:
-        if produced >= n_utts:
-            break
-        if topk > 0:
-            vals, idx, elen = ev.emissions_topk(batch, topk)
-            v, ix, el = np.asarray(vals), np.asarray(idx), np.asarray(elen)
-        else:
-            em_all, elen = ev.emissions(batch)
-            em_all, el = np.asarray(em_all), np.asarray(elen)
-        for i in range(batch["audio"].shape[0]):
+    try:
+        for batch in it:
             if produced >= n_utts:
                 break
-            if int(batch["sample_idx"][i]) < 0:
-                continue
-            T = int(el[i])
             if topk > 0:
-                e = np.full((T, n_label), -1e30, np.float32)
-                np.put_along_axis(e, ix[i, :T], v[i, :T], axis=1)
+                vals, idx, elen = ev.emissions_topk(batch, topk)
+                v, ix, el = np.asarray(vals), np.asarray(idx), np.asarray(elen)
             else:
-                e = em_all[i, :T]
-            tl = int(batch["target_len"][i])
-            ref_toks = [int(t) for t in batch["target"][i, :tl]]
-            ref_words = tokens_to_words(
-                ev.token_dict.map_indices(ref_toks), wsep, False)
-            emq.put((e, ref_words))
-            audio_s_done[0] += float(batch["audio_len"][i]) / 16000.0
-            produced += 1
-    for _ in threads:
-        emq.put(None)
-    for t in threads:
-        t.join()
+                em_all, elen = ev.emissions(batch)
+                em_all, el = np.asarray(em_all), np.asarray(elen)
+            for i in range(batch["audio"].shape[0]):
+                if produced >= n_utts:
+                    break
+                if int(batch["sample_idx"][i]) < 0:
+                    continue
+                T = int(el[i])
+                if topk > 0:
+                    e = np.full((T, n_label), -1e30, np.float32)
+                    np.put_along_axis(e, ix[i, :T], v[i, :T], axis=1)
+                else:
+                    e = em_all[i, :T]
+                tl = int(batch["target_len"][i])
+                ref_toks = [int(t) for t in batch["target"][i, :tl]]
+                ref_words = tokens_to_words(
+                    ev.token_dict.map_indices(ref_toks), wsep, False)
+                emq.put((e, ref_words))
+                audio_s_done[0] += float(batch["audio_len"][i]) / 16000.0
+                produced += 1
+    finally:
+        # always release the consumers — a producer exception must surface
+        # as an error, not a queue-wait hang
+        for _ in threads:
+            emq.put(None)
+        for t in threads:
+            t.join()
     wall = time.perf_counter() - wall0
 
     rtf = wall / max(audio_s_done[0], 1e-9)
@@ -442,10 +460,16 @@ def run_streaming_bench():
             d.decode_begin()
         pool = (cf.ThreadPoolExecutor(n_streams) if n_streams > 1 else None)
         look_back = int(250 / stride_ms)
+        consumed = [[] for _ in range(n_streams)]
 
         def step_one(i, em):
+            # reference online pattern (AudioToWords.cpp:64-105): consume
+            # the stable prefix (hypothesis up to look_back frames back),
+            # then prune at that same frame — per-chunk partials
+            # concatenate into the transcript with no duplicates
             decs[i].decode_step(em[i])
-            decs[i].get_best_hypothesis(0)
+            res = decs[i].get_best_hypothesis(look_back)
+            consumed[i].extend(w for w in res.words if w >= 0)
             decs[i].prune(look_back=look_back)
 
         def drain(p):
@@ -493,7 +517,8 @@ def run_streaming_bench():
         for d in decs:
             d.decode_end()
         res = decs[0].get_results(1)[0]
-        final_hyp[:] = [words[w] for w in res.words if w >= 0]
+        final_hyp[:] = [words[w] for w in consumed[0]] + [
+            words[w] for w in res.words if w >= 0]
         if pool is not None:
             pool.shutdown()
         return lat

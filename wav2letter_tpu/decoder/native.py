@@ -243,7 +243,26 @@ class NativeBeamDecoder:
         return out
 
     def get_best_hypothesis(self, look_back: int = 0) -> DecodeResult:
-        return self.get_results(1)[0]
+        """Best hypothesis ending ``look_back`` frames before the newest
+        frame — the stable prefix an online consumer prints (reference
+        ``getBestHypothesis(lookBack)``). Consume this, then call
+        ``prune(look_back)`` (which re-roots at the same frame): the next
+        call reports only words after the consumed prefix."""
+        max_len = 100000
+        toks = np.empty(max_len, np.int32)
+        words = np.empty(max_len, np.int32)
+        scores = np.empty(3, np.float64)
+        L = self.lib.w2l_decoder_best_lookback(
+            self.ptr, look_back,
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_len, scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        L = max(L, 0)
+        return DecodeResult(
+            float(scores[0]), float(scores[1]), float(scores[2]),
+            words[:L].tolist(), toks[:L].tolist(),
+        )
 
     # -- batch API ---------------------------------------------------------
     def decode(self, emissions: np.ndarray, n_best: int = 1) -> List[DecodeResult]:

@@ -93,6 +93,11 @@ def decoder_lib() -> ctypes.CDLL:
         c.c_int, c.POINTER(c.c_double),
     ]
     lib.w2l_decoder_prune.argtypes = [c.c_void_p, c.c_int]
+    lib.w2l_decoder_best_lookback.restype = c.c_int
+    lib.w2l_decoder_best_lookback.argtypes = [
+        c.c_void_p, c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int, c.POINTER(c.c_double),
+    ]
     lib.w2l_lm_new_external.restype = c.c_void_p
     lib.w2l_lm_new_external.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int]
     lib.w2l_decoder_step_collect.restype = c.c_int

@@ -2220,6 +2220,51 @@ int w2l_decoder_result(void* d_, int hyp_idx, int32_t* tokens, int32_t* words,
   return L;
 }
 
+// best hypothesis ending `look_back` frames before the newest frame
+// (reference getBestHypothesis(lookBack), inference/decoder/Decoder.cpp:
+// 227-261): the stable prefix an online consumer prints. Pair with
+// w2l_decoder_prune(look_back) — which re-roots at the SAME frame — for
+// duplicate-free per-chunk word consumption (AudioToWords.cpp:64-105).
+int w2l_decoder_best_lookback(void* d_, int look_back, int32_t* tokens,
+                              int32_t* words, int max_len,
+                              double* score_out) {
+  auto* d = static_cast<Decoder*>(d_);
+  int T = (int)d->frames.size() - 1;
+  if (T < 1) return 0;
+  int tf = d->ended ? T : std::max(1, T - look_back);
+  const auto& fr = d->frames[tf];
+  if (fr.empty()) return 0;
+  int best = 0;
+  for (int i = 1; i < (int)fr.size(); i++)
+    if (fr[i].score > fr[best].score) best = i;
+  std::vector<int> tk, wd;
+  if (d->ended && tf == T) {
+    d->backtrack(best, tk, wd);
+  } else {
+    int fi = best;
+    for (int t = tf; t >= 1; t--) {
+      const Hyp& cur = d->frames[t][fi];
+      tk.push_back(cur.token);
+      wd.push_back(cur.word);
+      fi = cur.parent;
+      if (fi < 0) break;
+    }
+    std::reverse(tk.begin(), tk.end());
+    std::reverse(wd.begin(), wd.end());
+  }
+  int L = std::min((int)tk.size(), max_len);
+  for (int i = 0; i < L; i++) {
+    tokens[i] = tk[i];
+    words[i] = wd[i];
+  }
+  if (score_out) {
+    score_out[0] = fr[best].score;
+    score_out[1] = fr[best].am_score;
+    score_out[2] = fr[best].lm_score;
+  }
+  return L;
+}
+
 // prune lattice keeping last (look_back+1) frames (online API)
 void w2l_decoder_prune(void* d_, int look_back) {
   auto* d = static_cast<Decoder*>(d_);
